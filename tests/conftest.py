@@ -1,0 +1,22 @@
+"""Test config: run the suite on a virtual 8-device CPU mesh.
+
+The session environment presets an `axon` (tunneled real-TPU) JAX platform via
+sitecustomize, which registers at interpreter startup and wins platform
+selection; plain `JAX_PLATFORMS=cpu` in the environment is not enough.  The
+reliable override is `jax.config.update("jax_platforms", "cpu")` before any
+computation.  Multi-chip sharding paths are validated here on 8 virtual CPU
+devices (the driver separately dry-runs `__graft_entry__.dryrun_multichip`);
+real-TPU benchmarking goes through bench.py, not the test suite.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
