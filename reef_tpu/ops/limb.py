@@ -75,6 +75,18 @@ class LimbField:
             return F.from_limbs(arr)
         return [self.to_int(a) for a in arr]
 
+    def encode_host(self, xs) -> np.ndarray:
+        """Montgomery-encode via pure python ints (no jax; safe under trace).
+
+        Use for constants materialized inside traced functions; `encode` is
+        faster for large host batches but must not run during tracing.
+        """
+        if isinstance(xs, int):
+            return np.array(F.to_limbs((xs * self.r_int) % self.p_int), np.uint32)
+        flat = [F.to_limbs((int(x) * self.r_int) % self.p_int)
+                for x in np.ravel(np.array(xs, dtype=object))]
+        return np.array(flat, np.uint32).reshape(tuple(np.shape(xs)) + (N,))
+
     # Montgomery-domain convenience wrappers (host side).  Batches are padded
     # to a multiple of 64 so jit specializes on few shapes (eager-mode
     # per-op dispatch is ruinously slow for limb kernels).

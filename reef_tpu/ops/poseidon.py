@@ -36,8 +36,8 @@ def _device_consts(lf: LimbField, t: int):
     """Round constants (n_rounds, t, N) and MDS (t, t, N), Montgomery-encoded."""
     rc, mds = poseidon_params(lf.p_int, t)
     n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS[t]
-    rc_arr = lf.encode(list(rc)).reshape(n_rounds, t, limb.N)
-    mds_arr = lf.encode([mds[i][j] for i in range(t) for j in range(t)])
+    rc_arr = lf.encode_host(list(rc)).reshape(n_rounds, t, limb.N)
+    mds_arr = lf.encode_host([mds[i][j] for i in range(t) for j in range(t)])
     mds_arr = mds_arr.reshape(t, t, limb.N)
     half = FULL_ROUNDS // 2
     is_full = np.zeros(n_rounds, dtype=bool)
@@ -135,7 +135,7 @@ class IOPattern:
 
 @functools.lru_cache(maxsize=None)
 def _tag_cache(lf: LimbField, tag_int: int):
-    return lf.encode(tag_int % lf.p_int)
+    return lf.encode_host(tag_int % lf.p_int)
 
 
 def tag_elem(lf: LimbField, io: IOPattern):
