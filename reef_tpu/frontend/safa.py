@@ -1,0 +1,318 @@
+"""SAFA — skipping alternating finite automaton.
+
+Mirrors the observable behavior of the reference SAFA
+(/root/reference/src/frontend/safa.rs): a graph whose nodes are hash-consed
+regexes tagged ∀/∃ (Quant) and whose edges are either single characters or
+Skip sets (OpenSet over document offsets).  Construction (safa.rs:199-214):
+for each new node, first match wins:
+
+  1. extract_skip  -> skip edge + complement-skip edge to the sink,
+  2. ∀-fork        -> lookahead conjunctions split into ε-children,
+  3. ∃-fork        -> alternations split into ε-children,
+  4. derivatives   -> one char edge per alphabet symbol (+ self ε-loop).
+
+The solver (safa.rs:353-492) is a backtracking search producing a Trace; the
+reference parallelizes candidate skip offsets with rayon, this implementation
+memoizes failed (node, cursor) states instead (same worst-case search space,
+sequential host code; a native solver can slot in later).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Set, Tuple
+
+from . import regex as R
+from .openset import OpenSet
+from .quantifier import Quant
+from .trace import Trace, TraceElem, char_edge, epsilon, skip_edge
+
+Edge = Tuple[str, object]  # ("c", codepoint) | ("s", OpenSet)
+
+
+class SAFA:
+    def __init__(self, alphabet: str, regex: R.Regex, _build: bool = True):
+        self.ab: List[int] = sorted(ord(c) for c in set(alphabet))
+        self.nodes: List[Quant] = []
+        # edges stored per-source in insertion order: (dst, label)
+        self.out_edges: List[List[Tuple[int, Edge]]] = []
+        self.accepting: Set[int] = set()
+        self.sink: Optional[int] = None
+        # (regex uid, is_and) -> node index, for find_or_add
+        self._index: Dict[Tuple[int, bool], int] = {}
+        if _build:
+            root = self._add_node(Quant.or_(regex))
+            old = sys.getrecursionlimit()
+            sys.setrecursionlimit(max(old, 100000))
+            try:
+                self._add(root)
+            finally:
+                sys.setrecursionlimit(old)
+            if self.sink is None:
+                self.sink = self.find(R.empty())
+
+    # ------------------------------------------------------------------
+    # graph primitives
+    # ------------------------------------------------------------------
+
+    def _add_node(self, q: Quant) -> int:
+        idx = len(self.nodes)
+        self.nodes.append(q)
+        self.out_edges.append([])
+        self._index[(q.get().uid, q.is_and)] = idx
+        return idx
+
+    def _add_edge(self, src: int, dst: int, label: Edge):
+        self.out_edges[src].append((dst, label))
+
+    def exists(self, r: R.Regex, is_and: bool) -> bool:
+        return (r.uid, is_and) in self._index
+
+    def find(self, r: R.Regex) -> Optional[int]:
+        """First node (by index) holding regex r, either quantifier."""
+        best = None
+        for key, idx in self._index.items():
+            if key[0] == r.uid and (best is None or idx < best):
+                best = idx
+        return best
+
+    def find_or_add(self, r: R.Regex, is_and: bool) -> int:
+        got = self._index.get((r.uid, is_and))
+        if got is not None:
+            return got
+        return self._add_node(Quant(r, is_and))
+
+    # ------------------------------------------------------------------
+    # construction (safa.rs:86-221)
+    # ------------------------------------------------------------------
+
+    def _add_skip(self, n: int, skip: OpenSet, q_c: R.Regex):
+        recurse = not self.exists(q_c, False)
+        n_c = self.find_or_add(q_c, False)
+        self._add_edge(n, n_c, skip_edge(skip))
+        # complement skip always fails -> edge to sink (safa.rs:108-119)
+        if not skip.is_full() and not skip.is_nil():
+            if self.sink is None:
+                n_empty = self._add_node(Quant(R.empty(), False))
+                self.sink = n_empty
+                self._add_edge(n_empty, n_empty, epsilon())
+            self._add_edge(n, self.sink, skip_edge(skip.negate()))
+        if recurse:
+            self._add(n_c)
+
+    def _add_derivatives(self, frm: int):
+        self._add_edge(frm, frm, epsilon())  # self ε-loop (safa.rs:150)
+        r = self.nodes[frm].get()
+        for c in self.ab:
+            q_c = R.deriv(r, c)
+            recurse = not self.exists(q_c, False)
+            n_c = self.find_or_add(q_c, False)
+            self._add_edge(frm, n_c, char_edge(c))
+            if recurse:
+                self._add(n_c)
+
+    def _add_fork(self, is_and: bool, frm: int) -> bool:
+        def to_set(r: R.Regex) -> List[R.Regex]:
+            if is_and and r.tag == R.AND:
+                return to_set(r.a) + to_set(r.b)
+            if not is_and and r.tag == R.ALT:
+                return to_set(r.a) + to_set(r.b)
+            return [r]
+
+        children = sorted(set(to_set(self.nodes[frm].get())), key=lambda x: x.uid)
+        if len(children) > 1:
+            q = self.nodes[frm]
+            self.nodes[frm] = Quant(q.get(), is_and)
+            self._index.pop((q.get().uid, q.is_and), None)
+            self._index[(q.get().uid, is_and)] = frm
+            for q_c in children:
+                self._add_skip(frm, OpenSet.nil(), q_c)
+            return True
+        return False
+
+    def _add(self, frm: int):
+        r = self.nodes[frm].get()
+        if R.nullable(r):
+            self.accepting.add(frm)
+        got = R.extract_skip(r)
+        if got is not None:
+            skip, rem = got
+            self._add_skip(frm, skip, rem)
+            return
+        if self._add_fork(True, frm):
+            return
+        if self._add_fork(False, frm):
+            return
+        self._add_derivatives(frm)
+
+    # ------------------------------------------------------------------
+    # accessors
+    # ------------------------------------------------------------------
+
+    @property
+    def init(self) -> int:
+        return 0
+
+    def num_states(self) -> int:
+        return len(self.nodes)
+
+    def num_edges(self) -> int:
+        return sum(len(e) for e in self.out_edges)
+
+    def is_fork(self, n: int) -> bool:
+        """All outgoing edges are skip-type (safa.rs:217-221)."""
+        return all(lbl[0] == "s" for _, lbl in self.out_edges[n])
+
+    def is_sink(self, n: int) -> bool:
+        return self.sink == n
+
+    def non_accepting(self) -> Set[int]:
+        return set(range(len(self.nodes))) - self.accepting
+
+    def forall_nodes(self) -> List[int]:
+        return [n for n in range(len(self.nodes))
+                if self.is_fork(n) and self.nodes[n].is_and]
+
+    def exist_nodes(self) -> List[int]:
+        return [n for n in range(len(self.nodes))
+                if self.is_fork(n) and self.nodes[n].is_or]
+
+    def max_skip_offset(self) -> int:
+        off = 0
+        for edges in self.out_edges:
+            for _, lbl in edges:
+                if lbl[0] == "s":
+                    m = lbl[1].max_offset()
+                    if m is not None and m > off:
+                        off = m
+        return off
+
+    def max_forall_fanout(self) -> int:
+        best = 0
+        for n in self.forall_nodes():
+            fan = sum(1 for dst, _ in self.out_edges[n] if dst != n)
+            best = max(best, fan)
+        return best
+
+    def edges(self, n: int) -> List[Tuple[int, Edge]]:
+        """Outgoing edges minus the self ε-loop (safa.rs:382-388)."""
+        return [(dst, lbl) for dst, lbl in self.out_edges[n]
+                if dst != n or not (lbl[0] == "s" and lbl[1].is_nil())]
+
+    def to_regex(self) -> R.Regex:
+        return self.nodes[self.init].get()
+
+    # ------------------------------------------------------------------
+    # negation (safa.rs:224-253)
+    # ------------------------------------------------------------------
+
+    def negate(self) -> "SAFA":
+        s = SAFA.__new__(SAFA)
+        s.ab = list(self.ab)
+        s.nodes = list(self.nodes)
+        s.out_edges = [list(e) for e in self.out_edges]
+        s._index = dict(self._index)
+        s.accepting = self.non_accepting()
+        s.sink = None
+        # sink = non-accepting node whose every outgoing edge self-loops
+        for n in range(len(self.nodes)):
+            if n not in s.accepting and all(dst == n for dst, _ in self.out_edges[n]):
+                s.sink = n
+                break
+        return s
+
+    # ------------------------------------------------------------------
+    # solver (safa.rs:353-492)
+    # ------------------------------------------------------------------
+
+    def solve(self, doc: List[int]) -> Optional[Trace]:
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, 100000))
+        try:
+            memo: Dict[Tuple[int, int], bool] = {}
+            return self._solve_rec(self.init, 0, doc, memo)
+        finally:
+            sys.setrecursionlimit(old)
+
+    def _solve_edge(self, lbl: Edge, frm: int, to: int, i: int,
+                    doc: List[int], memo) -> Optional[Trace]:
+        if lbl[0] == "c":
+            if self.is_sink(to):
+                return None
+            if lbl[1] == doc[i]:
+                tail = self._solve_rec(to, i + 1, doc, memo)
+                if tail is None:
+                    return None
+                return [TraceElem(frm, lbl, to, i, i + 1)] + tail
+            return None
+        skip = lbl[1]
+        for n in skip.iter_bounded(len(doc) - i):
+            tail = self._solve_rec(to, i + n, doc, memo)
+            if tail is not None:
+                return [TraceElem(frm, lbl, to, i, i + n)] + tail
+        return None
+
+    def _solve_rec(self, n: int, i: int, doc: List[int], memo) -> Optional[Trace]:
+        if n in self.accepting and i == len(doc):
+            return []
+        if i >= len(doc) or self.is_sink(n):
+            return None
+        key = (n, i)
+        if memo.get(key, False):
+            return None  # known failure
+        if self.nodes[n].is_and:
+            subs = []
+            for dst, lbl in self.out_edges[n]:
+                got = self._solve_edge(lbl, n, dst, i, doc, memo)
+                if got is None:
+                    memo[key] = True
+                    return None
+                subs.append(got)
+            subs.sort(key=lambda t: [e.sort_key() for e in t])
+            out: Trace = []
+            for t in subs:
+                out.extend(t)
+            return out
+        for dst, lbl in self.edges(n):
+            got = self._solve_edge(lbl, n, dst, i, doc, memo)
+            if got is not None:
+                return got
+        memo[key] = True
+        return None
+
+    # ------------------------------------------------------------------
+    # projection (safa.rs:447-492)
+    # ------------------------------------------------------------------
+
+    def _projection_rec(self, n: int, m: OpenSet, visited: Set[int]) -> OpenSet:
+        if n in visited:
+            return m
+        v = visited | {n}
+        acc = m
+        for dst, lbl in self.out_edges[n]:
+            if lbl[0] != "s":
+                continue
+            s = lbl[1]
+            if s.is_nullable() or s.is_open():
+                continue
+            if self.nodes[n].is_and:
+                acc = self._projection_rec(dst, acc.intersection(s), v)
+            else:
+                acc = self._projection_rec(dst, acc.union(s), v)
+        return acc
+
+    def projection(self) -> Optional[int]:
+        """Length of the document prefix the regex provably ignores."""
+        s = self._projection_rec(self.init, OpenSet.empty(), set())
+        f = s.first()
+        return f[0] if f is not None else None
+
+
+def equiv_upto_epsilon(got: Optional[Trace], want: Trace) -> bool:
+    """Trace equality modulo ε-steps (the reference's test helper,
+    safa.rs:538)."""
+    if got is None:
+        return False
+    g = [e for e in got if not e.is_nil()]
+    w = [e for e in want if not e.is_nil()]
+    return g == w

@@ -1,0 +1,237 @@
+"""Frontend tests: OpenSet algebra, regex parsing/derivatives, SAFA solver.
+
+Strategy mirrors the reference's (SURVEY.md §4): pure-logic unit tests for
+OpenSet/regex, then the SAFA solver exercised as an oracle over a corpus —
+here cross-checked against Python's `re` engine, which agrees with Reef's
+top-level anchor semantics (unanchored patterns match anywhere, i.e.
+re.search).  Reference corpus: safa.rs:529-988 (passwords, ranges, forks,
+negation, projections).
+"""
+
+import re as pyre
+
+import pytest
+
+from reef_tpu.frontend import parser, regex as R
+from reef_tpu.frontend.openset import OpenSet
+from reef_tpu.frontend.safa import SAFA
+
+
+# ---------------------------------------------------------------------------
+# OpenSet
+# ---------------------------------------------------------------------------
+
+class TestOpenSet:
+    def test_normalize_merge(self):
+        s = OpenSet([(0, 3), (4, 6), (10, 12)])
+        assert s.ranges == ((0, 6), (10, 12))
+
+    def test_union_intersect(self):
+        a = OpenSet([(0, 5)])
+        b = OpenSet([(3, None)])
+        assert a.union(b).ranges == ((0, None),)
+        assert a.intersection(b).ranges == ((3, 5),)
+
+    def test_negate(self):
+        s = OpenSet([(2, 4), (8, None)])
+        assert s.negate().ranges == ((0, 1), (5, 7))
+        assert OpenSet.star().negate().is_empty()
+        assert OpenSet.empty().negate().ranges == ((0, None),)
+        # involution on closed sets within a bounded check
+        t = OpenSet([(1, 3), (7, 9)])
+        assert t.negate().negate() == t
+
+    def test_contains_iter(self):
+        s = OpenSet([(1, 3), (9, None)])
+        assert all(s.contains(v) for v in (1, 2, 3, 9, 100))
+        assert not any(s.contains(v) for v in (0, 4, 8))
+        assert list(s.iter_bounded(11)) == [1, 2, 3, 9, 10, 11]
+
+    def test_usize_arithmetic(self):
+        # {1}.app({2,3}) = {3,4}
+        a = OpenSet.single(1)
+        b = OpenSet([(2, 3)])
+        assert a.app(b).ranges == ((3, 4),)
+        # repeat: {1}{2,4} = {2,3,4} -- wait: {1}.times(2)={2} union ... = {2,3,4}
+        assert OpenSet.single(1).repeat(2, 4).ranges == ((2, 4),)
+        assert OpenSet.star().kleene() == OpenSet.star()
+        assert OpenSet.nil().kleene() == OpenSet.nil()
+
+    def test_repeat_open(self):
+        s = OpenSet([(2, None)])
+        assert s.times(2).ranges == ((4, None),)
+
+
+# ---------------------------------------------------------------------------
+# regex parsing + simplification
+# ---------------------------------------------------------------------------
+
+def simpl(s: str) -> R.Regex:
+    return R.simpl(parser.parse(s))
+
+
+class TestRegexParse:
+    def test_anchors(self):
+        # ^a$ -> a  (parser.rs tests 117-127)
+        assert simpl("^a$") is R.character("a")
+        # ^a*$ -> a*
+        assert simpl("^a*$") is R.star(R.character("a"))
+
+    def test_unanchored_wraps_dotstar(self):
+        r = simpl("a")
+        assert r is R.app(R.app(R.dotstar(), R.character("a")), R.dotstar())
+
+    def test_range_and_class(self):
+        r = simpl("^[a-c]{2}$")
+        assert r.tag == R.RANGE and r.lo == 2 and r.hi == 2
+        assert r.a.cc == OpenSet([(ord("a"), ord("c"))])
+
+    def test_negated_class(self):
+        r = simpl("^[^a]$")
+        assert r.tag == R.CHARCLASS
+        assert not r.cc.contains(ord("a"))
+        assert r.cc.contains(ord("b"))
+
+    def test_alt_idempotent(self):
+        assert simpl("^(a|a)$") is R.character("a")
+
+    def test_lookahead_becomes_and(self):
+        r = simpl("^(?=a.*)b$")
+        assert r.tag == R.AND
+
+    def test_nullable(self):
+        assert R.nullable(simpl("^a*$"))
+        assert not R.nullable(simpl("^a+$"))
+        assert R.nullable(simpl("^(a|)$"))
+
+    def test_deriv(self):
+        r = simpl("^ab$")
+        d = R.deriv(r, ord("a"))
+        assert d is R.character("b")
+        assert R.is_empty(R.deriv(r, ord("b")))
+
+    def test_extract_skip(self):
+        got = R.extract_skip(simpl("^.{3}b$"))
+        assert got is not None
+        skip, rem = got
+        assert skip == OpenSet.single(3)
+        assert rem is R.character("b")
+        # .* prefix
+        skip2, rem2 = R.extract_skip(simpl("b"))
+        assert skip2 == OpenSet.star()
+
+    def test_star_range_collapse(self):
+        # r{0,1}* == r*
+        assert R.star(R.range_(R.character("a"), 0, 1)) is R.star(R.character("a"))
+
+
+# ---------------------------------------------------------------------------
+# SAFA: build + solve, oracle = python re
+# ---------------------------------------------------------------------------
+
+def check_trace(safa: SAFA, trace, doc):
+    """Structural validity of a solver trace."""
+    for el in trace:
+        assert (el.to_node, el.edge) in [
+            (d, l) for d, l in safa.out_edges[el.from_node]
+        ], f"edge not in graph: {el}"
+        if el.is_char:
+            assert doc[el.from_cur] == el.edge[1]
+            assert el.to_cur == el.from_cur + 1
+        else:
+            assert el.edge[1].contains(el.to_cur - el.from_cur)
+    if trace:
+        assert trace[-1].to_cur <= len(doc)
+
+
+CORPUS = [
+    # (regex, doc, alphabet)
+    ("^baa$", "baa", "ab"),
+    ("^baa$", "bab", "ab"),
+    ("baa", "ababbbaa", "ab"),
+    ("baa", "ababbbab", "ab"),
+    ("^a*$", "aa", "ab"),
+    ("^a*$", "ab", "ab"),
+    ("baa(a|c)$", "abababaac", "abc"),
+    ("^.*baa(a|b)$", "abababaab", "ab"),
+    ("^.{3}b$", "aaab", "ab"),
+    ("^.{3}b$", "aab", "ab"),
+    ("^.{1,3}b$", "aaab", "ab"),
+    ("^.{2,}b$", "aaab", "ab"),
+    ("^(a|ab)c$", "abc", "abc"),
+    ("^(a|ab)c$", "ac", "abc"),
+    ("(?=a.*).*b$", "aab", "ab"),
+    ("(?=a.*).*b$", "bb", "ab"),
+    ("^(?=a)ab$", "ab", "ab"),
+    ("^(?=b)ab$", "ab", "ab"),
+    ("^a.{4}b$", "axxxxb", "abx"),
+    ("^[a-c]+$", "abcabc", "abcd"),
+    ("^[a-c]+$", "abcd", "abcd"),
+    ("hello.*", "hello world", "helo wrd"),
+    ("hello.*", "hell world", "helo wrd"),
+    # password-policy style stacked lookaheads (safa.rs:871-911)
+    ("^(?=.*[A-Z].*[A-Z])(?=.*[a-z]).{6}$", "AAbbbb", "AaBbZz"),
+    ("^(?=.*[A-Z].*[A-Z])(?=.*[a-z]).{6}$", "Aabbbb", "AaBbZz"),
+    # DNA-style giant skip (safa.rs:953-967)
+    ("^.{8}ACGT", "AAAAAAAAACGTAAAA", "ACGT"),
+    ("^.{8}ACGT", "AAAAAAAACGTAAAAA", "ACGT"),
+]
+
+
+@pytest.mark.parametrize("rstr,doc,ab", CORPUS, ids=[f"{r}~{d}" for r, d, ab in CORPUS])
+def test_solver_vs_python_re(rstr, doc, ab):
+    r = R.simpl(parser.parse(rstr))
+    safa = SAFA(ab, r)
+    got = safa.solve([ord(c) for c in doc])
+    want = pyre.search(rstr, doc) is not None
+    assert (got is not None) == want, f"solver={got is not None} re={want}"
+    if got is not None:
+        check_trace(safa, got, [ord(c) for c in doc])
+
+
+def test_skip_edge_shape():
+    # ^.{3}b$ should have a single skip edge {3} from the root
+    r = R.simpl(parser.parse("^.{3}b$"))
+    safa = SAFA("ab", r)
+    skips = [lbl[1] for dst, lbl in safa.out_edges[0] if lbl[0] == "s"
+             and not lbl[1].is_nil()]
+    assert OpenSet.single(3) in skips
+    # and its complement to the sink
+    assert OpenSet.single(3).negate() in skips
+
+
+def test_forall_fanout():
+    r = R.simpl(parser.parse("^(?=a)(?=b)(?=c)$"))
+    safa = SAFA("ab", r)
+    assert safa.max_forall_fanout() == 4
+
+
+def test_negate_flips_acceptance():
+    r = R.simpl(parser.parse("^ab$"))
+    safa = SAFA("ab", r)
+    neg = safa.negate()
+    doc = [ord("a"), ord("b")]
+    assert safa.solve(doc) is not None
+    assert neg.solve(doc) is None
+    doc2 = [ord("a"), ord("a")]
+    assert safa.solve(doc2) is None
+    assert neg.solve(doc2) is not None
+
+
+def test_projection():
+    # projection ^.{4,15}a$ -> 4 ; unanchored -> None
+    r = R.simpl(parser.parse("^.{4,15}a$"))
+    assert SAFA("a", r).projection() == 4
+    r2 = R.simpl(parser.parse("a"))
+    assert SAFA("a", r2).projection() is None
+
+
+def test_large_doc_skip_solve():
+    # giant-skip solve must be fast (cursor jumps, not per-char states)
+    n = 50000
+    doc = [ord("A")] * n + [ord(c) for c in "CGTA"]
+    r = R.simpl(parser.parse(f"^.{{{n}}}CGTA$"))
+    safa = SAFA("ACGT", r)
+    got = safa.solve(doc)
+    assert got is not None
+    assert any(e.is_skip and e.to_cur - e.from_cur == n for e in got)
