@@ -1,0 +1,143 @@
+"""Constraint-count cost model + auto batch-size selection.
+
+Mirrors /root/reference/src/backend/costs.rs: closed-form per-gadget
+constraint estimates and the folded-cost objective
+``2*n_fold*(V1+V2+C) + 8*(V1+C)`` minimized over batch sizes (costs.rs:
+168-244).  V1/V2 are the Nova verifier-circuit folding overheads
+(costs.rs:7-8); retained as documented constants — the real overhead of this
+implementation's folding circuit is measured at setup and printed next to the
+estimate, as the reference does (framework.rs:313-347).
+"""
+
+from __future__ import annotations
+
+import math
+
+V1 = 10347
+V2 = 11376
+
+
+def logmn(mn: int) -> int:
+    if mn <= 1:
+        return 1
+    return max(1, math.ceil(math.log2(mn)))
+
+
+def next_power_of_two(n: int) -> int:
+    if n <= 1:
+        return 1
+    return 1 << (n - 1).bit_length()
+
+
+def get_padding(solution_len: int, batch_size: int) -> int:
+    modlen = solution_len + 1
+    eps = 0 if modlen % batch_size == 0 else batch_size - (modlen % batch_size)
+    return eps + 1
+
+
+def lookup_idxs_cost(n_states: int, batch_size: int) -> int:
+    bit_limit = logmn(n_states) + 1
+    return bit_limit * (2 * batch_size + 1) + bit_limit * 3 + 5
+
+
+def nl_nohash(batch_size: int, table_size: int) -> int:
+    log_mn = logmn(table_size)
+    cost = batch_size + 1
+    cost += log_mn * 2
+    cost += (batch_size + 1) * (2 * log_mn)
+    cost += (batch_size + 1) * (log_mn - 1)
+    cost += batch_size + 1
+    cost += 1
+    cost += math.ceil(batch_size * log_mn / 254.0)
+    return cost
+
+
+def nlookup_cost_hash(batch_size: int, table_size: int, hybrid: bool) -> int:
+    log_mn = logmn(table_size)
+    num_cqs = math.ceil(batch_size * log_mn / 254.0)
+    cost = 578
+    if log_mn + batch_size + num_cqs > 5:
+        num = float(log_mn + num_cqs + batch_size - 5)
+        if hybrid:
+            num += 1.0
+        n_sponge = max(1, int(num / 4.0))
+        cost += n_sponge * 288
+    cost += log_mn * 290
+    return cost
+
+
+def nl(batch_size: int, table_size: int, hybrid: bool) -> int:
+    return nl_nohash(batch_size, table_size) + nlookup_cost_hash(
+        batch_size, table_size, hybrid)
+
+
+def q_ordering(table_size: int, batch_size: int, hybrid: bool, project: bool) -> int:
+    total = logmn(table_size)
+    if hybrid:
+        total += 1
+    if project:
+        total += 1
+    return total * batch_size
+
+
+def nl_doc(batch_size: int, table_size: int, hybrid: bool, project: bool) -> int:
+    return q_ordering(table_size, batch_size, hybrid, project) + nl(
+        batch_size, table_size, hybrid)
+
+
+def cursor_circuit_cost(doc_len: int, batch_size: int, max_offset: int) -> int:
+    bitlimit = logmn(max(doc_len, max_offset)) + 1
+    ite = 3 + 3 * bitlimit
+    return (1 + bitlimit * (2 * batch_size + 1) + bitlimit * 3 * batch_size
+            + bitlimit * 2 * batch_size + bitlimit * (batch_size + 1) + ite)
+
+
+def stack_circuit_cost(n_states: int, doc_len: int, max_branches: int,
+                       max_stack: int) -> int:
+    log_states = logmn(n_states)
+    bitlimit = logmn(doc_len) + 1
+    push = 7 + max_branches * (3 + 2 * log_states + max_stack * 14) + log_states
+    pop = 4 + max_stack * 7 + 4 * bitlimit
+    return push + pop + 27 + 3 + 14
+
+
+def full_round_cost_model(num_states: int, num_edges: int, batch_size: int,
+                          doc_len: int, hybrid: bool, hybrid_len,
+                          project: bool, max_offset: int, max_branches: int,
+                          max_stack: int) -> int:
+    dlen_pow2 = next_power_of_two(doc_len)
+    safa_pow2 = next_power_of_two(num_edges)
+    lookup_cost = lookup_idxs_cost(num_states, batch_size)
+    if hybrid:
+        total = nl_doc(batch_size * 2, hybrid_len, hybrid, project) + lookup_cost
+    else:
+        total = (nl(batch_size, safa_pow2, False) + lookup_cost
+                 + nl_doc(batch_size, dlen_pow2, hybrid, project))
+    total += cursor_circuit_cost(dlen_pow2, batch_size, max_offset)
+    total += stack_circuit_cost(num_states, dlen_pow2, max_branches, max_stack)
+    return total
+
+
+def get_folded_cost(cost: int, solution_lens, batch_size: int) -> int:
+    n_folding = sum(math.ceil(x / batch_size) for x in solution_lens)
+    return 2 * n_folding * (V1 + V2 + cost) + 8 * (V1 + cost)
+
+
+def opt_cost_model_select(num_states: int, num_edges: int, doc_len: int,
+                          hybrid: bool, hybrid_len, project: bool,
+                          max_offset: int, max_branches: int, max_stack: int,
+                          solution_lens) -> int:
+    """Minimize folded cost over batch sizes 2..sum(paths) (costs.rs:207-244).
+
+    Batch size 1 is excluded: the reference asserts batch > 1 (r1cs.rs:515).
+    """
+    best_batch, best_cost = 2, None
+    max_fold = max(2, sum(solution_lens))
+    for n in range(2, max_fold + 1):
+        c = full_round_cost_model(num_states, num_edges, n, doc_len, hybrid,
+                                  hybrid_len, project, max_offset,
+                                  max_branches, max_stack)
+        fc = get_folded_cost(c, solution_lens, n)
+        if best_cost is None or fc < best_cost:
+            best_cost, best_batch = fc, n
+    return best_batch

@@ -168,8 +168,11 @@ class HostSponge:
 
     def absorb(self, elems):
         if self.squeezing:
-            # new absorb phase restarts duplexing
-            self._permute()
+            # squeeze->absorb direction change: reset position, NO permute
+            # (SAFE semantics; keeps one permutation per sumcheck round,
+            # matching the reference's 288-constraints-per-sponge cost shape,
+            # costs.rs:115-138)
+            self.pos = 0
             self.squeezing = False
         for e in elems:
             if self.pos == self.RATE:
