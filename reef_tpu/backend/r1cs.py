@@ -1,0 +1,313 @@
+"""Sparse R1CS builder + gadget library (replaces the reference's CirC stack).
+
+The reference compiles a term DSL through CirC's optimizer into R1CS
+(/root/reference/src/backend/r1cs.rs:693-727) and re-synthesizes it inside
+bellperson (nova.rs:868-1399).  Here constraints are emitted directly: a
+linear combination (LC) is a dict {var_index: coeff} (index 0 is the constant
+ONE wire), a constraint is (A, B, C) meaning <A,z>*<B,z> = <C,z>, and every
+auxiliary variable registers a compute closure so witnesses evaluate in one
+ordered pass (replacing CirC's StagedWitCompEvaluator, framework.rs:561-572).
+
+Gadgets: mul/ite/eq-zero/booleans, bit decomposition + range checks, Horner
+chains, and an in-circuit SAFE Poseidon sponge whose semantics mirror
+reef_tpu.ops.poseidon.HostSponge exactly — prover-side Fiat-Shamir and the
+in-circuit replay agree by construction (the reference's hard part #1,
+r1cs.rs:2260-2310 vs nova.rs:549-681).
+
+Boolean convention: "bool LCs" are LCs guaranteed by construction/constraint
+to evaluate to 0/1.  and/or/not compose multiplicatively; assertions are
+pushed with `assert_true`.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+from ..ops import field as F
+from ..ops.poseidon import IOPattern
+from ..ops.poseidon_constants import (FULL_ROUNDS, PARTIAL_ROUNDS,
+                                      poseidon_params)
+
+LC = Dict[int, int]
+
+
+def lc_const(c: int) -> LC:
+    return {0: c} if c else {}
+
+
+def lc_add(*lcs: LC) -> LC:
+    out: LC = {}
+    for lc in lcs:
+        for k, v in lc.items():
+            out[k] = out.get(k, 0) + v
+    return {k: v for k, v in out.items() if v}
+
+
+def lc_scale(lc: LC, c: int) -> LC:
+    if c == 0:
+        return {}
+    return {k: v * c for k, v in lc.items()}
+
+
+def lc_sub(a: LC, b: LC) -> LC:
+    return lc_add(a, lc_scale(b, -1))
+
+
+class ConstraintSystem:
+    """R1CS over a prime field with ordered witness computation."""
+
+    def __init__(self, field: F.HostField):
+        self.f = field
+        self.n_vars = 1  # index 0 = ONE
+        self.names: Dict[str, int] = {}
+        self.input_names: List[str] = []
+        self.constraints: List[Tuple[LC, LC, LC]] = []
+        # ordered witness computers: (var_idx, fn(assignment_list) -> int)
+        self.computers: List[Tuple[int, Callable]] = []
+
+    # -- variables ---------------------------------------------------------
+
+    def input(self, name: str) -> LC:
+        """Declare an externally-provided witness input wire."""
+        assert name not in self.names, f"duplicate input {name}"
+        idx = self.n_vars
+        self.n_vars += 1
+        self.names[name] = idx
+        self.input_names.append(name)
+        return {idx: 1}
+
+    def aux(self, name: str, compute: Callable) -> LC:
+        """New auxiliary wire with a compute closure fn(z)->value."""
+        idx = self.n_vars
+        self.n_vars += 1
+        if name:
+            self.names.setdefault(name, idx)
+        self.computers.append((idx, compute))
+        return {idx: 1}
+
+    def eval_lc(self, lc: LC, z: List[int]) -> int:
+        p = self.f.p
+        return sum(c * z[k] for k, c in lc.items()) % p
+
+    # -- constraints -------------------------------------------------------
+
+    def enforce(self, a: LC, b: LC, c: LC):
+        self.constraints.append((a, b, c))
+
+    def enforce_eq(self, a: LC, b: LC):
+        self.enforce(lc_sub(a, b), {0: 1}, {})
+
+    def enforce_zero(self, a: LC):
+        self.enforce(a, {0: 1}, {})
+
+    def assert_true(self, b: LC):
+        """b is a bool LC; require b == 1."""
+        self.enforce_eq(b, {0: 1})
+
+    # -- core gadgets ------------------------------------------------------
+
+    def mul(self, a: LC, b: LC, name: str = "") -> LC:
+        p = self.f.p
+        out = self.aux(name, lambda z, a=a, b=b: self.eval_lc(a, z)
+                       * self.eval_lc(b, z) % p)
+        self.enforce(a, b, out)
+        return out
+
+    def is_zero(self, a: LC, name: str = "") -> LC:
+        """bool LC: 1 if <a,z> == 0 else 0 (2 constraints)."""
+        p = self.f.p
+
+        def compute_inv(z, a=a):
+            v = self.eval_lc(a, z)
+            return pow(v, p - 2, p) if v != 0 else 0
+
+        inv = self.aux(name + "_inv", compute_inv)
+        out = self.aux(name, lambda z, a=a: 1 if self.eval_lc(a, z) == 0 else 0)
+        # out = 1 - a*inv ;  out * a = 0
+        self.enforce(a, inv, lc_sub({0: 1}, out))
+        self.enforce(out, a, {})
+        return out
+
+    def is_eq(self, a: LC, b: LC, name: str = "") -> LC:
+        return self.is_zero(lc_sub(a, b), name)
+
+    def ite(self, cond: LC, t: LC, fls: LC, name: str = "") -> LC:
+        """cond bool LC: cond ? t : f  (1 constraint)."""
+        return lc_add(fls, self.mul(cond, lc_sub(t, fls), name))
+
+    def and_(self, a: LC, b: LC) -> LC:
+        return self.mul(a, b)
+
+    def or_(self, a: LC, b: LC) -> LC:
+        # a + b - ab
+        return lc_sub(lc_add(a, b), self.mul(a, b))
+
+    def not_(self, a: LC) -> LC:
+        return lc_sub({0: 1}, a)
+
+    def all_(self, bools: List[LC]) -> LC:
+        if not bools:
+            return {0: 1}
+        out = bools[0]
+        for b in bools[1:]:
+            out = self.and_(out, b)
+        return out
+
+    def assert_bool(self, b: LC):
+        self.enforce(b, lc_sub(b, {0: 1}), {})
+
+    # -- bits & ranges -----------------------------------------------------
+
+    def bits(self, x: LC, n: int, name: str = "") -> List[LC]:
+        """Decompose x into n bits (LSB first); asserts x < 2^n."""
+        out = []
+        acc: LC = {}
+        for j in range(n):
+            bj = self.aux(f"{name}_b{j}",
+                          lambda z, x=x, j=j: (self.eval_lc(x, z) >> j) & 1)
+            self.assert_bool(bj)
+            acc = lc_add(acc, lc_scale(bj, 1 << j))
+            out.append(bj)
+        self.enforce_eq(acc, x)
+        return out
+
+    def assert_fits(self, x: LC, n: int, name: str = ""):
+        """Assert 0 <= x < 2^n."""
+        self.bits(x, n, name)
+
+    def assert_geq(self, a: LC, b: LC, n: int, name: str = ""):
+        """Assert a >= b given both < 2^n (mirrors the reference's
+        BvBinPred::Uge range idiom)."""
+        self.assert_fits(lc_sub(a, b), n, name)
+
+    def horner(self, coeffs: List[LC], x: LC) -> LC:
+        """coeffs[0] + x*(coeffs[1] + x*(...)) — len-2 muls + wiring."""
+        if len(coeffs) == 1:
+            return coeffs[0]
+        acc = self.mul(coeffs[-1], x)
+        for c in reversed(coeffs[1:-1]):
+            acc = self.mul(lc_add(acc, c), x)
+        return lc_add(acc, coeffs[0])
+
+    # -- Poseidon ----------------------------------------------------------
+
+    def poseidon_perm(self, state: List[LC], t: int = 5) -> List[LC]:
+        """In-circuit Poseidon permutation; ARC+MDS folded into LCs, 3
+        constraints per S-box (288 for t=5, matching costs.rs:115-138)."""
+        p = self.f.p
+        rc, mds = poseidon_params(p, t)
+        r_f, r_p = FULL_ROUNDS, PARTIAL_ROUNDS[t]
+        half = r_f // 2
+        ci = 0
+        s = list(state)
+
+        def sbox(x: LC) -> LC:
+            x2 = self.mul(x, x)
+            x4 = self.mul(x2, x2)
+            return self.mul(x4, x)
+
+        def mix(s: List[LC]) -> List[LC]:
+            return [lc_add(*[lc_scale(s[j], mds[i][j]) for j in range(t)])
+                    for i in range(t)]
+
+        for rnd in range(r_f + r_p):
+            full = rnd < half or rnd >= half + r_p
+            s = [lc_add(x, lc_const(rc[ci + i])) for i, x in enumerate(s)]
+            ci += t
+            if full:
+                s = [sbox(x) for x in s]
+            else:
+                s = [sbox(s[0])] + s[1:]
+            s = mix(s)
+        return s
+
+
+class CircuitSponge:
+    """In-circuit SAFE sponge over LCs; mirrors HostSponge exactly."""
+
+    RATE = 4
+    T = 5
+
+    def __init__(self, cs: ConstraintSystem, io: IOPattern):
+        self.cs = cs
+        self.state: List[LC] = [lc_const(io.tag_int() % cs.f.p)] + \
+            [{} for _ in range(self.RATE)]
+        self.pos = 0
+        self.squeezing = False
+
+    def _permute(self):
+        self.state = self.cs.poseidon_perm(self.state, self.T)
+        self.pos = 0
+
+    def absorb(self, lcs: List[LC]):
+        if self.squeezing:
+            self.pos = 0
+            self.squeezing = False
+        for lc in lcs:
+            if self.pos == self.RATE:
+                self._permute()
+            self.state[1 + self.pos] = lc_add(self.state[1 + self.pos], lc)
+            self.pos += 1
+
+    def squeeze(self, n: int) -> List[LC]:
+        if not self.squeezing:
+            self._permute()
+            self.squeezing = True
+        out = []
+        for _ in range(n):
+            if self.pos == self.RATE:
+                self._permute()
+            out.append(self.state[1 + self.pos])
+            self.pos += 1
+        return out
+
+
+class CompiledCircuit:
+    """Frozen circuit: witness evaluation + constraint checking."""
+
+    def __init__(self, cs: ConstraintSystem,
+                 output_lcs: Optional[List[LC]] = None):
+        self.cs = cs
+        self.f = cs.f
+        self.output_lcs = output_lcs or []
+
+    def witness(self, inputs: Dict[str, int]) -> List[int]:
+        cs = self.cs
+        z = [0] * cs.n_vars
+        z[0] = 1
+        missing = [n for n in cs.input_names if n not in inputs]
+        assert not missing, f"missing inputs: {missing[:10]}"
+        for name in cs.input_names:
+            z[cs.names[name]] = inputs[name] % cs.f.p
+        for idx, fn in cs.computers:
+            z[idx] = fn(z) % cs.f.p
+        return z
+
+    def outputs(self, z: List[int]) -> List[int]:
+        return [self.cs.eval_lc(lc, z) for lc in self.output_lcs]
+
+    def check_all(self, z: List[int]) -> Optional[int]:
+        """Az*Bz==Cz for all rows; returns first failing row index or None."""
+        p = self.f.p
+        ev = self.cs.eval_lc
+        for i, (a, b, c) in enumerate(self.cs.constraints):
+            if ev(a, z) * ev(b, z) % p != ev(c, z):
+                return i
+        return None
+
+    @property
+    def num_constraints(self) -> int:
+        return len(self.cs.constraints)
+
+    def to_sparse(self):
+        """(A, B, C) as COO triples (row, col, coeff) for the folding layer."""
+        A, B, C = [], [], []
+        p = self.f.p
+        for i, (a, b, c) in enumerate(self.cs.constraints):
+            for col, v in a.items():
+                A.append((i, col, v % p))
+            for col, v in b.items():
+                B.append((i, col, v % p))
+            for col, v in c.items():
+                C.append((i, col, v % p))
+        return A, B, C

@@ -291,7 +291,11 @@ class TransitionTable:
         chunk_len = full // 2
         e, s = full, 0
         end, start = e, 0
-        while e >= self.orig_doc_len:
+        # NB: the chunk must cover the EOF (orig_len) and EPSILON (orig_len+1)
+        # sentinel positions the witness reads; the reference's bound
+        # (e >= orig_doc_len, r1cs.rs:436) lets those fall outside the chunk.
+        min_end = self.orig_doc_len + 2
+        while e >= min_end:
             end, start = e, s
             s = 0
             while s + chunk_len <= real_start:
@@ -301,7 +305,7 @@ class TransitionTable:
             chunk_len //= 2
         chunk_len = end - start
         assert chunk_len == costs.next_power_of_two(chunk_len)
-        assert start <= real_start and end >= self.orig_doc_len
+        assert start <= real_start and end >= min_end
         assert start % chunk_len == 0
         if (end - start < len(self.table)) and hybrid:
             start = end - len(self.table)

@@ -114,15 +114,15 @@ def test_hybrid_table_extension():
 
 def test_projection_chunk():
     # ^.{8}ACGT with a 16-char doc: prefix of 8 provably ignorable
-    rstr = "^.{12}ACGT$"
-    safa, codes, udoc = build(rstr, "ACGT", "A" * 12 + "ACGT")
+    rstr = "^.{36}ACGT$"
+    safa, codes, udoc = build(rstr, "ACGT", "A" * 36 + "ACGT")
     proj = safa.projection()
-    assert proj == 12
+    assert proj == 36
     tt = TransitionTable(safa, udoc, len(udoc), len(codes), batch_size=2,
                          projection=proj)
     assert tt.doc_subset is not None
     start, end = tt.doc_subset
-    assert start <= 12 and end >= len(codes)
+    assert start <= 36 and end >= len(codes) + 2
     assert start % (end - start) == 0
     assert tt.proj_chunk_idx is not None
 
