@@ -46,9 +46,11 @@ def hide_pattern() -> IOPattern:
 class StepCircuit:
     """Builds (once) the R1CS for one folding step of batch_size transitions."""
 
-    def __init__(self, tt: TransitionTable, doc_commit_hash: int):
+    def __init__(self, tt: TransitionTable, doc_commit_hash: int,
+                 merkle_commitment=None):
         self.tt = tt
         self.doc_commit_hash = doc_commit_hash
+        self.merkle_commitment = merkle_commitment
         self.mode = ("merkle" if tt.merkle else
                      "hybrid" if tt.hybrid_len is not None else "split")
         self.sc_l = logmn(len(tt.table))          # T-table sumcheck rounds
@@ -420,11 +422,24 @@ class StepCircuit:
             expect = cs.ite(is_eps, lc_const(eps_loc), cursor_term)
             cs.enforce_eq(full_q, expect)
 
+    def _hash_absorb(self, elems: List[LC]) -> LC:
+        """Fixed-arity Poseidon hash gadget (absorb n, squeeze 1)."""
+        io = IOPattern([("absorb", len(elems)), ("squeeze", 1)])
+        sp = CircuitSponge(self.cs, io)
+        sp.absorb(elems)
+        return sp.squeeze(1)[0]
+
     def _merkle_lookups(self, chars, cursors):
-        """Merkle mode: bind merkle_lookup_i vars (path checks are done by
-        the merkle gadget added in backend.merkle)."""
+        """Merkle mode: bind lookup indices to cursors/EPSILON and verify a
+        Poseidon authentication path per lookup against the ROOT CONSTANT
+        (the reference allocates the root as a free witness, nova.rs:400;
+        here the commitment is baked into the circuit like the doc hash)."""
         cs = self.cs
         tt = self.tt
+        mc = self.merkle_commitment
+        assert mc is not None, "merkle mode needs the commitment at build"
+        root = lc_const(mc.commitment % F.Q)
+        height = mc.height
         self.merkle_lookup_lcs = []
         for i in range(tt.batch_size):
             lk = cs.input(f"merkle_lookup_{i}")
@@ -432,3 +447,21 @@ class StepCircuit:
             expect = cs.ite(is_eps, lc_const(tt.ep_num), cursors[i])
             cs.enforce_eq(lk, expect)
             self.merkle_lookup_lcs.append(lk)
+            # leaf level: (idx, char) pair with sibling (w0, w1)
+            w0 = cs.input(f"merkle_w0_{i}")
+            w1 = cs.input(f"merkle_w1_{i}")
+            lr = cs.input(f"merkle_lr_{i}_0")
+            cs.assert_bool(lr)
+            e0 = cs.ite(lr, lk, w0)
+            e1 = cs.ite(lr, chars[i], w1)
+            e2 = cs.ite(lr, w0, lk)
+            e3 = cs.ite(lr, w1, chars[i])
+            h = self._hash_absorb([e0, e1, e2, e3])
+            for lvl in range(1, height):
+                w = cs.input(f"merkle_w_{i}_{lvl}")
+                lrh = cs.input(f"merkle_lr_{i}_{lvl}")
+                cs.assert_bool(lrh)
+                left = cs.ite(lrh, h, w)
+                right = cs.ite(lrh, w, h)
+                h = self._hash_absorb([left, right])
+            cs.enforce_eq(h, root)

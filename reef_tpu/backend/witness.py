@@ -29,11 +29,13 @@ class BatchResult:
 
 class WitnessGenerator:
     def __init__(self, tt: TransitionTable, circuit: StepCircuit,
-                 doc_commit_hash: int, hash_salt: int):
+                 doc_commit_hash: int, hash_salt: int,
+                 merkle_commitment=None):
         self.tt = tt
         self.circuit = circuit
         self.doc_hash = doc_commit_hash
         self.salt = hash_salt
+        self.merkle_commitment = merkle_commitment
         self.sol_num = 0
         self.stack: List[Tuple[int, int]] = [(0, tt.kid_padding)
                                              for _ in range(tt.max_stack)]
@@ -208,8 +210,16 @@ class WitnessGenerator:
             self._fill_nl(wits, "nl", tt.table, rows_q, rows_v,
                           running.get("nl_q"), running.get("nl_v"), None,
                           result)
+            mc = self.merkle_commitment
             for i2 in range(bs):
                 wits[f"merkle_lookup_{i2}"] = doc_q[i2]
+                path = mc.path_wits(doc_q[i2])
+                wits[f"merkle_w0_{i2}"] = path[0].opposite_idx or 0
+                wits[f"merkle_w1_{i2}"] = path[0].opposite
+                wits[f"merkle_lr_{i2}_0"] = int(path[0].l_or_r)
+                for lvl in range(1, mc.height):
+                    wits[f"merkle_w_{i2}_{lvl}"] = path[lvl].opposite
+                    wits[f"merkle_lr_{i2}_{lvl}"] = int(path[lvl].l_or_r)
             result.merkle_lookups = doc_q
         elif mode == "hybrid":
             half = tt.hybrid_len // 2
@@ -263,7 +273,7 @@ class WitnessGenerator:
 
 def solve_and_batch(tt: TransitionTable, circuit: StepCircuit,
                     doc_codes: List[int], doc_commit_hash: int,
-                    hash_salt: int):
+                    hash_salt: int, merkle_commitment=None):
     """Generator over batches: yields (wits, z_in, result) per fold step.
 
     This is the host side of the reference's solver thread loop
@@ -273,7 +283,8 @@ def solve_and_batch(tt: TransitionTable, circuit: StepCircuit,
     if trace is None:
         raise ValueError("No solution found")
     sols = trace_preprocessing(trace)
-    gen = WitnessGenerator(tt, circuit, doc_commit_hash, hash_salt)
+    gen = WitnessGenerator(tt, circuit, doc_commit_hash, hash_salt,
+                           merkle_commitment)
 
     running: Dict = {}
     state = 0
