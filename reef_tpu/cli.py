@@ -1,0 +1,172 @@
+"""CLI: the four party roles sharing one entry point.
+
+Mirrors the reference's clap interface (config.rs:15-124, main.rs):
+
+  python -m reef_tpu.cli ascii --commit -d doc.txt
+  python -m reef_tpu.cli ascii --prove  -d doc.txt -r 'hello.*' [-b N] [-p] [-y] [-m] [-n]
+  python -m reef_tpu.cli ascii --verify -d doc.txt -r 'hello.*' [...]
+  python -m reef_tpu.cli ascii --e2e    -d doc.txt -r 'hello.*' [...]
+
+Alphabets: ascii (0..128), utf8, dna (ACGT); transforms --alpha-numeric,
+--ignore-whitespace, --case-insensitive (config.rs:291-420).
+Artifacts: <doc>.cmt (public), <doc>.cmtkey (prover secret blind seed),
+reg_<re>.proof.  --metrics FILE appends CSV rows in the reference's schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+from typing import List
+
+from .backend import framework as FW
+from .frontend import parser as rparser
+from .frontend import regex as R
+from .frontend.safa import SAFA
+from .utils import serialize
+from .utils.metrics import Metrics
+
+
+def build_alphabet(args) -> List[int]:
+    if args.alphabet == "ascii":
+        ab = list(range(128))
+    elif args.alphabet == "utf8":
+        ab = list(range(0x110000))
+        # full unicode is intractable for per-char derivative edges; the
+        # reference has the same practical limit — restrict to chars that
+        # can appear (transforms or doc+regex driven)
+    elif args.alphabet == "dna":
+        ab = [ord(c) for c in "ACGT"]
+    else:
+        raise ValueError(args.alphabet)
+
+    if args.alpha_numeric:
+        keep = set(range(ord("a"), ord("z") + 1)) | \
+            set(range(ord("A"), ord("Z") + 1)) | \
+            set(range(ord("0"), ord("9") + 1))
+        ab = [c for c in ab if c in keep]
+    if args.ignore_whitespace:
+        ws = {ord(c) for c in " \t\n\r\f\v"}
+        ab = [c for c in ab if c not in ws]
+    if args.case_insensitive:
+        ab = sorted({ord(chr(c).lower()) for c in ab})
+    return ab
+
+
+def read_doc(path: str, args, ab: List[int]) -> List[int]:
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if args.alphabet == "utf8":
+        codes = [ord(c) for c in raw.decode("utf-8")]
+    else:
+        codes = list(raw)
+    if args.case_insensitive:
+        codes = [ord(chr(c).lower()) for c in codes]
+    if args.alpha_numeric or args.ignore_whitespace:
+        abset = set(ab)
+        codes = [c for c in codes if c in abset]
+    if args.alphabet == "dna":
+        for c in codes:
+            assert chr(c) in "ACGT", f"{c:#04x} not in the alphabet"
+    return codes
+
+
+def artifact_names(args):
+    doc_base = os.path.basename(args.doc)
+    cmt = args.cmt_name or f"{doc_base}.cmt"
+    key = cmt + "key"
+    re_tag = hashlib.sha256(args.re.encode()).hexdigest()[:12] if args.re \
+        else "none"
+    proof = args.proof_name or f"reg_{re_tag}.proof"
+    return cmt, key, proof
+
+
+def build_safa(args, ab: List[int]) -> SAFA:
+    r = R.simpl(rparser.parse(args.re))
+    ab_str = "".join(chr(c) for c in ab)
+    safa = SAFA(ab_str, r)
+    if args.negate:
+        safa = safa.negate()
+    return safa
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="reef_tpu")
+    ap.add_argument("alphabet", choices=["ascii", "utf8", "dna"])
+    mode = ap.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--commit", action="store_true")
+    mode.add_argument("--prove", action="store_true")
+    mode.add_argument("--verify", action="store_true")
+    mode.add_argument("--e2e", action="store_true")
+    ap.add_argument("-d", "--doc", required=True)
+    ap.add_argument("-r", "--re", default=None)
+    ap.add_argument("-b", "--batch-size", type=int, default=0)
+    ap.add_argument("-p", "--projections", action="store_true")
+    ap.add_argument("-y", "--hybrid", action="store_true")
+    ap.add_argument("-m", "--merkle", action="store_true")
+    ap.add_argument("-n", "--negate", action="store_true")
+    ap.add_argument("--cmt-name", default=None)
+    ap.add_argument("--proof-name", default=None)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--alpha-numeric", action="store_true")
+    ap.add_argument("--ignore-whitespace", action="store_true")
+    ap.add_argument("--case-insensitive", action="store_true")
+    args = ap.parse_args(argv)
+
+    print("reef_tpu")
+    ab = build_alphabet(args)
+    cmt_path, key_path, proof_path = artifact_names(args)
+    mt = Metrics()
+
+    if args.commit or args.e2e:
+        doc = read_doc(args.doc, args, ab)
+        mt.tic("CommitmentGen", "generation")
+        commit, secret = FW.run_committer(doc, ab, args.merkle)
+        mt.stop("CommitmentGen", "generation")
+        n = serialize.save(cmt_path, "cmt", commit)
+        mt.space("CommitmentGen", "commitment", n)
+        if secret is not None:
+            serialize.save(key_path, "cmtkey", secret)
+        print(f"wrote {cmt_path}")
+
+    if args.prove or args.e2e:
+        assert args.re, "Regular Expression not found"
+        doc = read_doc(args.doc, args, ab)
+        commit = serialize.load(cmt_path, "cmt")
+        secret = serialize.load(key_path, "cmtkey") if not args.merkle \
+            else None
+        mt.tic("Compiler", "regex_normalization+fa_builder")
+        safa = build_safa(args, ab)
+        mt.stop("Compiler", "regex_normalization+fa_builder")
+        proofs = FW.run_prover(commit, secret, safa, doc,
+                               batch_size=args.batch_size,
+                               projections=args.projections,
+                               hybrid=args.hybrid, merkle=args.merkle,
+                               metrics=mt)
+        n = serialize.save(proof_path, "proof", proofs)
+        mt.space("Prover", "snark_size", n)
+        print(f"wrote {proof_path}")
+
+    if args.verify or args.e2e:
+        assert args.re, "Regular Expression not found"
+        commit = serialize.load(cmt_path, "cmt")
+        proofs = serialize.load(proof_path, "proof")
+        safa = build_safa(args, ab)
+        ok = FW.run_verifier(commit, safa, proofs,
+                             batch_size=args.batch_size,
+                             projections=args.projections,
+                             hybrid=args.hybrid, merkle=args.merkle,
+                             metrics=mt)
+        print("Verification PASSED" if ok else "Verification FAILED")
+        if not ok:
+            sys.exit(1)
+
+    if args.metrics:
+        mt.write_csv(args.metrics)
+
+
+if __name__ == "__main__":
+    main()

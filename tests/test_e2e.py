@@ -1,0 +1,82 @@
+"""Full end-to-end SNARK tests: commit -> prove -> verify.
+
+Mirrors the reference's backend_test suite (framework.rs:1013-1173,
+e2e_nl_nl / e2e_hybrid / e2e_merkle + negative tampering) on small inputs.
+These are the expensive tests (the reference's CI skips them; they run here
+because the instances are tiny)."""
+
+import pytest
+
+from reef_tpu.backend import framework as FW
+from reef_tpu.frontend import parser, regex as R
+from reef_tpu.frontend.safa import SAFA
+from reef_tpu.ops import field as F
+
+f = F.FQ
+
+
+def e2e(rstr, ab, doc, batch_size=2, hybrid=False, merkle=False,
+        projections=False, negate=False):
+    r = R.simpl(parser.parse(rstr))
+    safa = SAFA(ab, r)
+    if negate:
+        safa = safa.negate()
+    codes = [ord(c) for c in doc]
+    commit, dc_secret = FW.run_committer(codes, safa.ab, merkle, seed=7)
+    proofs = FW.run_prover(commit, dc_secret, safa, codes,
+                           batch_size=batch_size, projections=projections,
+                           hybrid=hybrid, merkle=merkle)
+    ok = FW.run_verifier(commit, safa, proofs, batch_size=batch_size,
+                         projections=projections, hybrid=hybrid,
+                         merkle=merkle)
+    return commit, proofs, ok
+
+
+def test_e2e_nl_nl():
+    # the reference's own smoke case (README.md:61-67): '.*b' over aaaaaaaab
+    _, _, ok = e2e(".*b", "ab", "aaaaaaaab")
+    assert ok
+
+
+def test_e2e_merkle():
+    _, _, ok = e2e("^baa$", "ab", "baa", merkle=True)
+    assert ok
+
+
+def test_e2e_hybrid():
+    _, _, ok = e2e("^baa$", "ab", "baa", hybrid=True)
+    assert ok
+
+
+def test_e2e_forall():
+    _, _, ok = e2e("^(?=a.*).*b$", "ab", "aab")
+    assert ok
+
+
+def test_e2e_negate():
+    _, _, ok = e2e("^ab$", "ab", "aa", negate=True)
+    assert ok
+
+
+def test_e2e_tampered_proof_rejected():
+    r = R.simpl(parser.parse("^baa$"))
+    safa = SAFA("ab", r)
+    codes = [ord(c) for c in "baa"]
+    commit, dc_secret = FW.run_committer(codes, safa.ab, False, seed=8)
+    proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2)
+    # tamper: claim a different exit state in the last step's public io
+    cw, x, ct = proofs.steps[-1]
+    x2 = list(x)
+    x2[len(x) // 2] = (x2[len(x) // 2] + 1) % f.p
+    proofs.steps[-1] = (cw, x2, ct)
+    assert not FW.run_verifier(commit, safa, proofs, batch_size=2)
+
+
+def test_e2e_wrong_flags_rejected():
+    r = R.simpl(parser.parse("^baa$"))
+    safa = SAFA("ab", r)
+    codes = [ord(c) for c in "baa"]
+    commit, dc_secret = FW.run_committer(codes, safa.ab, False, seed=9)
+    proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2)
+    # verifying with a different batch size derives a different circuit
+    assert not FW.run_verifier(commit, safa, proofs, batch_size=3)
