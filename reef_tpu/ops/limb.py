@@ -197,6 +197,18 @@ def neg(f: LimbField, a):
     return sub(f, jnp.zeros_like(a), a)
 
 
+# antidiagonal selection tensors: SEL[i,j,k] = [i+j == k], shifted variant
+# for the high halves.  One einsum contraction replaces 32 sequential
+# dynamic-update-slice accumulations — XLA (especially the CPU backend)
+# compiles the einsum form over an order of magnitude faster.
+_SEL_LO = np.zeros((N, N, 2 * N), np.uint32)
+_SEL_HI = np.zeros((N, N, 2 * N), np.uint32)
+for _i in range(N):
+    for _j in range(N):
+        _SEL_LO[_i, _j, _i + _j] = 1
+        _SEL_HI[_i, _j, _i + _j + 1] = 1
+
+
 def mul(f: LimbField, a, b):
     """Montgomery product: a * b * R^-1 mod p, batched over leading dims.
 
@@ -212,10 +224,9 @@ def mul(f: LimbField, a, b):
     lo = pp & MASK
     hi = pp >> BITS
 
-    cols = jnp.zeros(batch + (2 * N,), u32)
-    for i in range(N):
-        cols = cols.at[..., i : i + N].add(lo[..., i, :])
-        cols = cols.at[..., i + 1 : i + N + 1].add(hi[..., i, :])
+    # column sums over antidiagonals (each < 32 * 2^16 < 2^21)
+    cols = (jnp.einsum("...ij,ijk->...k", lo, jnp.asarray(_SEL_LO))
+            + jnp.einsum("...ij,ijk->...k", hi, jnp.asarray(_SEL_HI)))
 
     p_limbs = jnp.asarray(f.p)
     for i in range(N):
