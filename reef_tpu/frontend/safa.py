@@ -225,7 +225,18 @@ class SAFA:
     # solver (safa.rs:353-492)
     # ------------------------------------------------------------------
 
-    def solve(self, doc: List[int]) -> Optional[Trace]:
+    def solve(self, doc: List[int], native: Optional[bool] = None
+              ) -> Optional[Trace]:
+        """Find a matching trace.  native=None tries the C++ solver for
+        large documents and falls back to Python."""
+        if native is None:
+            native = len(doc) > 4096
+        if native:
+            try:
+                from .native_solver import solve_native
+                return solve_native(self, doc)
+            except RuntimeError:
+                pass
         old = sys.getrecursionlimit()
         sys.setrecursionlimit(max(old, 100000))
         try:
