@@ -1,0 +1,134 @@
+"""Pallas TPU kernels for the hot field ops (Montgomery mul / pow5).
+
+The pure-XLA limb path (reef_tpu.ops.limb) leaves the VPU underutilized:
+limbs sit on the minor (lane) axis, filling 16 of 128 lanes, and every op
+round-trips HBM.  These kernels flip the layout — limbs major, batch on
+(sublane, lane) — so each limb row is a full 8x128 VREG, and run the whole
+schoolbook product + 16 REDC rounds + carry propagation in VMEM.
+
+Layout: a batch of B field elements (B multiple of 1024) is reshaped from
+(B, 16) uint32 to (16, B/128, 128); the grid tiles the middle axis in blocks
+of 8 sublanes (1024 elements per block).
+
+`enable()` routes reef_tpu.ops.limb.mul through these kernels for large
+batches on TPU; everything built on limb.mul (Poseidon, sumcheck folds, EC
+adds, MSM) accelerates without code changes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import field as F
+from . import limb
+from .limb import BITS, MASK, N, LimbField
+
+u32 = jnp.uint32
+BLOCK = 1024          # elements per grid block (8 sublanes x 128 lanes)
+SUB = BLOCK // 128    # 8
+
+
+def _mul_body(f: LimbField, a_ref, b_ref, o_ref):
+    """Montgomery product on one block: refs are (16, 8, 128) uint32."""
+    mask = u32(F.LIMB_MASK)
+    n0inv = u32(int(f.n0inv))
+    p_limbs = [u32(int(v)) for v in f.p]
+
+    a = [a_ref[i] for i in range(N)]
+    b = [b_ref[i] for i in range(N)]
+    zero = jnp.zeros_like(a[0])
+    cols = [zero] * (2 * N)
+    for i in range(N):
+        ai = a[i]
+        for j in range(N):
+            pp = ai * b[j]
+            cols[i + j] = cols[i + j] + (pp & mask)
+            cols[i + j + 1] = cols[i + j + 1] + (pp >> BITS)
+    for i in range(N):
+        m = (cols[i] * n0inv) & mask
+        for j in range(N):
+            mp = m * p_limbs[j]
+            cols[i + j] = cols[i + j] + (mp & mask)
+            cols[i + j + 1] = cols[i + j + 1] + (mp >> BITS)
+        cols[i + 1] = cols[i + 1] + (cols[i] >> BITS)
+    # carry-propagate the result half
+    res = []
+    carry = zero
+    for k in range(N, 2 * N):
+        t = cols[k] + carry
+        res.append(t & mask)
+        carry = t >> BITS
+    # conditional subtract p
+    borrow = zero
+    sub = []
+    for k in range(N):
+        t = res[k] + u32(1 << BITS) - p_limbs[k] - borrow
+        sub.append(t & mask)
+        borrow = u32(1) - (t >> BITS)
+    geq = borrow == 0
+    for k in range(N):
+        o_ref[k] = jnp.where(geq, sub[k], res[k])
+
+
+@functools.lru_cache(maxsize=None)
+def _mul_call(f: LimbField, n_blocks: int, interpret: bool):
+    spec = pl.BlockSpec((N, SUB, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_mul_body, f),
+        out_shape=jax.ShapeDtypeStruct((N, n_blocks * SUB, 128), jnp.uint32),
+        grid=(n_blocks,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=interpret,
+    )
+
+
+def mont_mul(f: LimbField, a, b, interpret: bool = False):
+    """(B, 16) x (B, 16) -> (B, 16), B padded to a BLOCK multiple inside."""
+    assert a.shape == b.shape and a.shape[-1] == N
+    B = a.shape[0]
+    Bp = -(-B // BLOCK) * BLOCK
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        a = jnp.pad(a, pad)
+        b = jnp.pad(b, pad)
+    av = a.T.reshape(N, Bp // 128, 128)
+    bv = b.T.reshape(N, Bp // 128, 128)
+    out = _mul_call(f, Bp // BLOCK, interpret)(av, bv)
+    return out.reshape(N, Bp).T[:B]
+
+
+# ---------------------------------------------------------------------------
+# dispatch hook: route limb.mul through pallas for large TPU batches
+# ---------------------------------------------------------------------------
+
+_BASE_MUL = limb.mul
+_THRESHOLD = 2048
+
+
+def _dispatching_mul(f: LimbField, a, b):
+    batch = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    n = int(np.prod(batch)) if batch else 1
+    if n >= _THRESHOLD and n % 128 == 0:
+        a = jnp.broadcast_to(a, batch + (N,)).reshape(n, N)
+        b = jnp.broadcast_to(b, batch + (N,)).reshape(n, N)
+        return mont_mul(f, a, b).reshape(batch + (N,))
+    return _BASE_MUL(f, a, b)
+
+
+def enable(threshold: int = 2048):
+    """Route limb.mul through the Pallas kernel for batches >= threshold."""
+    global _THRESHOLD
+    _THRESHOLD = threshold
+    limb.mul = _dispatching_mul
+
+
+def disable():
+    limb.mul = _BASE_MUL
