@@ -69,11 +69,25 @@ class Transcript:
 # Pedersen
 # ---------------------------------------------------------------------------
 
+_BLIND_H = None
+
+
+def shared_blinding_gen() -> Point:
+    """One global blinding generator H (the reference derives its vector
+    gens with the scalar gen's blinding gen, commitment.rs:178-182 — a
+    single H is required for the IPA's combined-blind algebra)."""
+    global _BLIND_H
+    if _BLIND_H is None:
+        _BLIND_H = PALLAS.hash_to_curve(b"reef/blind")
+    return _BLIND_H
+
+
 class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
         self.G = cv.gens(label, n)
-        self.H = cv.hash_to_curve(label + b"/blind")
+        self.H = shared_blinding_gen() if cv is PALLAS else \
+            cv.hash_to_curve(label + b"/blind")
 
     def commit(self, values: List[int], blind: int) -> Point:
         cv = self.cv
@@ -178,26 +192,42 @@ class HyraxPC:
             total += L[j] * sum(r * c % p for r, c in zip(R, row))
         return total % p
 
-    def prove_eval(self, coeffs: List[int], commit: HyraxCommitment,
-                   blinds: List[int], q: List[int], v: int, v_blind: int,
-                   transcript: Transcript) -> SigmaEvalProof:
-        """Prove committed-poly(q) == v where C_v = Com_sc(v; v_blind)."""
-        import secrets
+    def _fold_lr(self, coeffs, blinds, q):
         p = self.f.p
-        cv = self.cv
         qL, qR = self._split_point(q)
         L = eq_evals(self.f, qL)
         R = eq_evals(self.f, qR)
-        # w = L^T M ; rho = <L, blinds>
         w = []
         for c in range(self.n_cols):
             w.append(sum(L[j] * coeffs[j * self.n_cols + c] for j in
                          range(self.n_rows)) % p)
-        rho = sum(L[j] * blinds[j] for j in range(self.n_rows)) % p
+        rho = sum(L[j] * blinds[j] for j in range(self.n_rows)) % p \
+            if blinds is not None else None
+        return L, R, w, rho
+
+    def prove_eval(self, coeffs: List[int], commit: HyraxCommitment,
+                   blinds: List[int], q: List[int], v: int, v_blind: int,
+                   transcript: Transcript, sigma: bool = False):
+        """Prove committed-poly(q) == v where C_v = Com_sc(v; v_blind).
+
+        Default: log-round IPA (reef_tpu.backend.ipa); sigma=True uses the
+        O(sqrt N) sigma protocol (kept for comparison/testing)."""
+        import secrets
+        p = self.f.p
+        cv = self.cv
+        L, R, w, rho = self._fold_lr(coeffs, blinds, q)
 
         for pt in commit.row_commits:
             transcript.append_point(b"row", cv, pt)
         transcript.append(b"q", q)
+
+        if not sigma:
+            from .ipa import ipa_prove
+            C_w = cv.msm(L, commit.row_commits)
+            C_v = self.sc_gens.commit([v % p], v_blind)
+            return ipa_prove(self.vec_gens, self.sc_gens.G[0], w, rho, R,
+                             v % p, v_blind, C_w, C_v, transcript)
+
         s = [secrets.randbelow(p) for _ in range(self.n_cols)]
         r_s = secrets.randbelow(p)
         r_B = secrets.randbelow(p)
@@ -213,8 +243,7 @@ class HyraxPC:
         return SigmaEvalProof(cv.compress(A), cv.compress(Bp), z, z_rho, z_B)
 
     def verify_eval(self, commit: HyraxCommitment, q: List[int],
-                    v_commit: Point, proof: SigmaEvalProof,
-                    transcript: Transcript) -> bool:
+                    v_commit: Point, proof, transcript: Transcript) -> bool:
         p = self.f.p
         cv = self.cv
         qL, qR = self._split_point(q)
@@ -225,6 +254,12 @@ class HyraxPC:
         for pt in commit.row_commits:
             transcript.append_point(b"row", cv, pt)
         transcript.append(b"q", q)
+
+        if not isinstance(proof, SigmaEvalProof):
+            from .ipa import ipa_verify
+            return ipa_verify(self.vec_gens, self.sc_gens.G[0], R, C_w,
+                              v_commit, proof, transcript)
+
         A = cv.decompress(proof.A)
         Bp = cv.decompress(proof.B)
         transcript.append_point(b"A", cv, A)
