@@ -1,0 +1,77 @@
+"""ctypes bridge to the native C++ Pippenger MSM (native/msm.cpp).
+
+Hooks into Curve.msm for host-side commitment work; silent fallback to the
+Python Pippenger when the toolchain is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_FAILED
+    if _LIB is not None or _BUILD_FAILED:
+        return _LIB
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "msm.cpp")
+    so = os.path.join(root, "native", "libpastamsm.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.pasta_msm.restype = None
+        _LIB = lib
+    except Exception:
+        _BUILD_FAILED = True
+    return _LIB
+
+
+def msm_native(curve, scalars: List[int], points) -> Optional[tuple]:
+    """MSM via the native library; returns an affine point or None (identity).
+
+    Raises RuntimeError if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native msm unavailable")
+    from .pasta import PALLAS
+    curve_id = 0 if curve is PALLAS else 1
+    n = len(scalars)
+    if n == 0:
+        return None
+    sbuf = bytearray(32 * n)
+    pbuf = bytearray(65 * n)
+    for i, (s, pt) in enumerate(zip(scalars, points)):
+        sbuf[32 * i:32 * (i + 1)] = (s % curve.order).to_bytes(32, "little")
+        if pt is None:
+            pbuf[65 * i + 64] = 1
+        else:
+            pbuf[65 * i:65 * i + 32] = pt[0].to_bytes(32, "little")
+            pbuf[65 * i + 32:65 * i + 64] = pt[1].to_bytes(32, "little")
+    out = bytes(96)
+    out_buf = ctypes.create_string_buffer(out, 96)
+    lib.pasta_msm(ctypes.c_int(curve_id), ctypes.c_int64(n),
+                  (ctypes.c_char * len(sbuf)).from_buffer(sbuf),
+                  (ctypes.c_char * len(pbuf)).from_buffer(pbuf),
+                  out_buf)
+    X = int.from_bytes(out_buf.raw[0:32], "little")
+    Y = int.from_bytes(out_buf.raw[32:64], "little")
+    Z = int.from_bytes(out_buf.raw[64:96], "little")
+    if Z == 0:
+        return None
+    p = curve.p
+    zi = pow(Z, p - 2, p)
+    return (X * zi % p, Y * zi % p)

@@ -97,6 +97,16 @@ class Curve:
 
     def mul(self, k: int, a: Point) -> Point:
         k %= self.order
+        if k.bit_length() > 32 and a is not None:
+            try:
+                from .native_msm import msm_native
+                return msm_native(self, [k], [a])
+            except RuntimeError:
+                pass
+        return self._mul_py(k, a)
+
+    def _mul_py(self, k: int, a: Point) -> Point:
+        k %= self.order
         out: Point = None
         add = self.add
         while k:
@@ -107,11 +117,22 @@ class Curve:
         return out
 
     def msm(self, scalars: List[int], points: List[Point]) -> Point:
-        """Pippenger on the host (oracle / small sizes)."""
+        """MSM: native C++ Pippenger when available, python fallback."""
         assert len(scalars) == len(points)
         n = len(scalars)
         if n == 0:
             return None
+        if n >= 8:
+            try:
+                from .native_msm import msm_native
+                return msm_native(self, scalars, points)
+            except RuntimeError:
+                pass
+        return self._msm_py(scalars, points)
+
+    def _msm_py(self, scalars: List[int], points: List[Point]) -> Point:
+        """Pure-python Pippenger (oracle / fallback)."""
+        n = len(scalars)
         c = 4 if n < 32 else max(4, n.bit_length() - 2)
         c = min(c, 16)
         nbits = self.order.bit_length()
