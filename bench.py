@@ -1,63 +1,165 @@
 #!/usr/bin/env python
-"""reef_tpu benchmark driver — prints ONE JSON line.
+"""reef_tpu benchmark driver.
 
-Runs on the real TPU (the session's default axon platform).  Headline metric
-for now: batched Poseidon (arity-4, t=5, 255-bit Pasta field) permutations per
-second per chip — the reference's hottest hash kernel (neptune sponge, used
-for every nlookup Fiat-Shamir round and Merkle node,
-/root/reference/src/backend/r1cs.rs:2260-2310, merkle_tree.rs:25-104).
+Default (driver mode): prints ONE JSON line with the headline metric —
+batched Poseidon permutations/s/chip through the Pallas Montgomery kernel
+(the hottest field kernel: every nlookup Fiat-Shamir round and Merkle node,
+r1cs.rs:2260-2310).
+
+`python bench.py --all` additionally reports MSM throughput, device sumcheck
+rounds, native host MSM, and an end-to-end CLI prove, for BENCHMARKS.md.
 
 vs_baseline: the reference publishes no in-repo numbers and cannot be built
-here (zero egress, no vendored crates — see BASELINE.md); the denominator is
-an estimated single-core neptune arity-4 throughput of 2e5 perms/s on server
-x86 (typical published neptune bench magnitude).  Replace with a measured
-number when a built reference is available.
+here (zero egress; BASELINE.md) — the denominator is an estimated neptune
+arity-4 single-core throughput of 2e5 perms/s (typical published magnitude).
+
+NB: on the tunneled axon platform `block_until_ready` does not block; every
+timing forces a device->host transfer.
 """
 
 import json
+import sys
 import time
 
-NEPTUNE_CPU_PERMS_PER_S = 2.0e5  # estimated reference baseline (see docstring)
+NEPTUNE_CPU_PERMS_PER_S = 2.0e5  # estimated reference baseline (docstring)
 
 
-def bench_poseidon(batch: int = 1 << 15, iters: int = 20) -> float:
+def _sync(x):
+    import numpy as np
+    return np.asarray(x)
+
+
+def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True):
     import jax
-    import jax.numpy as jnp
+    import numpy as np
     from reef_tpu.ops import limb, poseidon
 
     lf = limb.FQ
     t = 5
-    # deterministic pseudo-random state from a cheap device-side LCG is
-    # overkill; just tile a few host-encoded rows
-    import numpy as np
-
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if use_pallas and on_tpu:
+        from reef_tpu.ops import pallas_field
+        pallas_field.enable(threshold=4096)
     base = lf.encode_host(list(range(1, t * 8 + 1))).reshape(8, t, limb.N)
-    state = jnp.asarray(np.tile(base, (batch // 8, 1, 1)))
-
+    state = jax.numpy.asarray(np.tile(base, (batch // 8, 1, 1)))
     fn = jax.jit(lambda s: poseidon.permute(lf, s, t))
     out = fn(state)
-    _ = np.asarray(out)  # compile + warm; NB block_until_ready does not
-    # actually block on the tunneled axon platform — force a transfer
+    _sync(out)
     t0 = time.time()
     for _ in range(iters):
         out = fn(out)
-    _ = np.asarray(out[0, 0, 0])
+    _sync(out[0, 0, 0])
     dt = (time.time() - t0) / iters
+    if use_pallas and on_tpu:
+        from reef_tpu.ops import pallas_field
+        pallas_field.disable()
     return batch / dt
 
 
+def bench_msm_device(n=1 << 12):
+    import random
+    from reef_tpu.ec import msm as M
+    from reef_tpu.ec.pasta import VESTA
+
+    RNG = random.Random(5)
+    ck = M.vesta_kernels()
+    pts = [VESTA.mul(RNG.randrange(1, 1 << 64), VESTA.gen)
+           for _ in range(min(n, 256))]
+    pts = (pts * (n // len(pts) + 1))[:n]
+    scalars = [RNG.randrange(VESTA.order) for _ in range(n)]
+    t0 = time.time()
+    out = M.msm_device(ck, scalars, pts)
+    _sync(out)
+    dt = time.time() - t0
+    return n / dt
+
+
+def bench_msm_native(n=1 << 14):
+    import random
+    from reef_tpu.ec.pasta import PALLAS
+    from reef_tpu.ec.native_msm import msm_native
+
+    RNG = random.Random(5)
+    pts = [PALLAS.mul(i + 2, PALLAS.gen) for i in range(256)]
+    pts = (pts * (n // 256 + 1))[:n]
+    scalars = [RNG.randrange(PALLAS.order) for _ in range(n)]
+    msm_native(PALLAS, scalars[:8], pts[:8])  # warm build
+    t0 = time.time()
+    msm_native(PALLAS, scalars, pts)
+    dt = time.time() - t0
+    return n / dt
+
+
+def bench_sumcheck_device(ell=10, iters=5):
+    import random
+    from reef_tpu.backend import sumcheck as SC
+    from reef_tpu.ops import field as F
+    from reef_tpu.ops.limb import FQ as LFQ
+    from reef_tpu.ops.sumcheck_device import DeviceTableCache
+
+    f = F.FQ
+    RNG = random.Random(5)
+    table = [RNG.randrange(f.p) for _ in range(1 << ell)]
+    qs = [RNG.randrange(len(table)) for _ in range(8)]
+    vs = [table[q] for q in qs]
+    prev_q = [RNG.randrange(f.p) for _ in range(ell)]
+    prev_v = SC.verifier_mle_eval(f, table, prev_q)
+    cache = DeviceTableCache(LFQ, table)
+    SC.nlookup_prove(f, table, qs, vs, prev_q, prev_v, "nl",
+                     device_cache=cache)  # warm
+    t0 = time.time()
+    for _ in range(iters):
+        SC.nlookup_prove(f, table, qs, vs, prev_q, prev_v, "nl",
+                         device_cache=cache)
+    dt = (time.time() - t0) / iters
+    return (1 << ell) * ell / dt  # table-element folds per second
+
+
+def bench_e2e_prover(doc_kb=1):
+    """End-to-end CLI prove on an ascii doc; returns seconds per KB."""
+    import os
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        doc = os.path.join(d, "doc.txt")
+        n = doc_kb * 1024 - 10
+        with open(doc, "w") as fh:
+            fh.write("a" * n + "hello spam")
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, "-m", "reef_tpu.cli", "ascii", "--e2e",
+             "-d", doc, "-r", "hello.*", "-b", "4"],
+            cwd=d, env=env, check=True, capture_output=True)
+        return (time.time() - t0) / doc_kb
+
+
 def main():
+    if "--all" in sys.argv:
+        results = {}
+        for name, fn in [("poseidon_perms_per_s", bench_poseidon),
+                         ("msm_device_pts_per_s", bench_msm_device),
+                         ("msm_native_host_pts_per_s", bench_msm_native),
+                         ("sumcheck_device_folds_per_s", bench_sumcheck_device),
+                         ("e2e_prover_s_per_KB", bench_e2e_prover)]:
+            try:
+                t0 = time.time()
+                results[name] = round(fn(), 2)
+                results[name + "_bench_runtime_s"] = round(time.time() - t0, 1)
+            except Exception as e:  # keep going; report what works
+                results[name] = f"ERROR: {type(e).__name__}: {e}"
+            print(json.dumps({name: results[name]}), flush=True)
+        return
+
     perms_per_s = bench_poseidon()
-    print(
-        json.dumps(
-            {
-                "metric": "poseidon_permutations_per_s_per_chip",
-                "value": round(perms_per_s, 1),
-                "unit": "perm/s",
-                "vs_baseline": round(perms_per_s / NEPTUNE_CPU_PERMS_PER_S, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "poseidon_permutations_per_s_per_chip",
+        "value": round(perms_per_s, 1),
+        "unit": "perm/s",
+        "vs_baseline": round(perms_per_s / NEPTUNE_CPU_PERMS_PER_S, 3),
+    }))
 
 
 if __name__ == "__main__":
