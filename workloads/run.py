@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark workloads mirroring the reference's tests/scripts/*.sh
+(dna.sh, password.sh, pihole.sh, email_dkim.sh, zombie.sh — SURVEY.md §6).
+
+Generates synthetic documents of the same character and drives the CLI
+end-to-end, appending metrics CSV per run:
+
+    python workloads/run.py dna --size 10000
+    python workloads/run.py password
+    python workloads/run.py pihole
+    python workloads/run.py dkim --size 1024
+    python workloads/run.py all
+"""
+
+import argparse
+import os
+import random
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKLOADS = {
+    # name: (alphabet, regex builder, doc builder, extra flags)
+    "dna": {
+        "alphabet": "dna",
+        "regex": lambda n: f"^.{{{n - 24}}}ATGGGCTACAGAAACCGTGCCAAA.*",
+        "doc": lambda n, rng: "".join(rng.choice("ACGT")
+                                      for _ in range(n - 24))
+        + "ATGGGCTACAGAAACCGTGCCAAA",
+        "flags": [],
+    },
+    "password": {
+        "alphabet": "ascii",
+        "regex": lambda n: "^(?=.*[A-Z].*[A-Z])(?=.*[a-z]).{12}$",
+        "doc": lambda n, rng: "xKwP3q9ZtmBv"[:12],
+        "flags": [],
+    },
+    "pihole": {
+        "alphabet": "ascii",
+        "regex": lambda n: r"^(.+[_.-])?telemetry[_.-]",
+        "doc": lambda n, rng: "app.telemetry.example.com/path?q=1",
+        "flags": [],
+    },
+    "dkim": {
+        "alphabet": "ascii",
+        "regex": lambda n: "dkim-signature: v=1; a=rsa-sha256.*",
+        "doc": lambda n, rng: ("x-header: " + "a" * max(0, n - 60)
+                               + "\ndkim-signature: v=1; a=rsa-sha256; stuff"),
+        "flags": [],
+    },
+    "zombie_date": {
+        "alphabet": "ascii",
+        "regex": lambda n: r"[0-9][0-9]/[0-9][0-9]/[0-9][0-9]",
+        "doc": lambda n, rng: "a" * max(0, n - 10) + " 12/25/23 x",
+        "flags": [],
+    },
+}
+
+
+def run_one(name, size, batch, metrics, extra_flags=()):
+    spec = WORKLOADS[name]
+    rng = random.Random(42)
+    doc = spec["doc"](size, rng)
+    regex = spec["regex"](len(doc))
+    with tempfile.TemporaryDirectory() as d:
+        doc_path = os.path.join(d, f"{name}.txt")
+        with open(doc_path, "w") as fh:
+            fh.write(doc)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = ROOT
+        cmd = [sys.executable, "-m", "reef_tpu.cli", spec["alphabet"],
+               "--e2e", "-d", doc_path, "-r", regex, "-b", str(batch)]
+        cmd += list(spec["flags"]) + list(extra_flags)
+        if metrics:
+            cmd += ["--metrics", metrics]
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=d, env=env, capture_output=True,
+                           text=True)
+        dt = time.time() - t0
+        ok = "Verification PASSED" in r.stdout
+        print(f"{name:12s} doc={len(doc):>8}B  {dt:6.1f}s  "
+              f"{'PASS' if ok else 'FAIL'}"
+              + ("" if ok else f"\n{r.stdout}\n{r.stderr[-2000:]}"))
+        return ok, dt, len(doc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workload", choices=list(WORKLOADS) + ["all"])
+    ap.add_argument("--size", type=int, default=1000)
+    ap.add_argument("-b", "--batch", type=int, default=0)
+    ap.add_argument("--metrics", default=None)
+    args = ap.parse_args()
+    names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+    fails = 0
+    for n in names:
+        ok, _, _ = run_one(n, args.size, args.batch, args.metrics)
+        fails += not ok
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
