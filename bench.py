@@ -29,10 +29,10 @@ def _sync(x):
     return np.asarray(x)
 
 
-def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True):
+def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
     import jax
     import numpy as np
-    from reef_tpu.ops import limb, poseidon
+    from reef_tpu.ops import limb, poseidon, poseidon_mxu
 
     lf = limb.FQ
     t = 5
@@ -42,7 +42,8 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True):
         pallas_field.enable(threshold=4096)
     base = lf.encode_host(list(range(1, t * 8 + 1))).reshape(8, t, limb.N)
     state = jax.numpy.asarray(np.tile(base, (batch // 8, 1, 1)))
-    fn = jax.jit(lambda s: poseidon.permute(lf, s, t))
+    perm = poseidon_mxu.permute if mxu else poseidon.permute
+    fn = jax.jit(lambda s: perm(lf, s, t))
     out = fn(state)
     _sync(out)
     t0 = time.time()

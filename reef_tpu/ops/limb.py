@@ -227,7 +227,14 @@ def mul(f: LimbField, a, b):
     # column sums over antidiagonals (each < 32 * 2^16 < 2^21)
     cols = (jnp.einsum("...ij,ijk->...k", lo, jnp.asarray(_SEL_LO))
             + jnp.einsum("...ij,ijk->...k", hi, jnp.asarray(_SEL_HI)))
+    return redc_cols(f, cols)
 
+
+def redc_cols(f: LimbField, cols):
+    """Montgomery-reduce a (..., 32)-column accumulation (columns < ~2^26)
+    to a canonical (..., 16) element.  Shared by `mul` and the MXU Poseidon
+    path, which produces such columns from int8 matmuls."""
+    batch = cols.shape[:-1]
     p_limbs = jnp.asarray(f.p)
     for i in range(N):
         m = (cols[..., i] * f.n0inv) & MASK
@@ -244,7 +251,9 @@ def mul(f: LimbField, a, b):
         out.append(t & MASK)
         c = t >> BITS
     r = jnp.stack(out, axis=-1)
-    return _cond_sub_p(f, r)
+    # MXU accumulations can reach T ~ 5p^2 > R*p, so t < ~2.3p: two
+    # conditional subtracts cover it (the plain-mul path needs only one)
+    return _cond_sub_p(f, _cond_sub_p(f, r))
 
 
 def sqr(f: LimbField, a):
