@@ -34,10 +34,12 @@ def build_alphabet(args) -> List[int]:
     if args.alphabet == "ascii":
         ab = list(range(128))
     elif args.alphabet == "utf8":
-        ab = list(range(0x110000))
-        # full unicode is intractable for per-char derivative edges; the
-        # reference has the same practical limit — restrict to chars that
-        # can appear (transforms or doc+regex driven)
+        # the reference nominally uses all of unicode (config.rs:253-263),
+        # which is intractable for per-char derivative edges.  The practical
+        # utf8 alphabet here is fixed (regex-independent, so commitments
+        # stay reusable across regexes): whitespace + printable ASCII +
+        # Latin-1 supplement.
+        ab = sorted({9, 10, 13} | set(range(32, 127)) | set(range(160, 256)))
     elif args.alphabet == "dna":
         ab = [ord(c) for c in "ACGT"]
     else:

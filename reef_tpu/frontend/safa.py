@@ -319,6 +319,37 @@ class SAFA:
         return f[0] if f is not None else None
 
 
+def write_dot(safa: SAFA, filename: str) -> str:
+    """Write a Graphviz .dot of the SAFA; converts to PDF if `dot` exists
+    (the reference's plot feature, safa.rs:494-526)."""
+    import subprocess
+
+    lines = ["digraph safa {"]
+    for i, q in enumerate(safa.nodes):
+        mark = " ✓" if i in safa.accepting else ""
+        quant = "∀ " if q.is_and else "∃ "
+        label = (quant + repr(q.get()) + mark).replace('"', "'")
+        lines.append(f'  n{i} [label="{i}: {label}"];')
+    for src in range(len(safa.nodes)):
+        for dst, lbl in safa.out_edges[src]:
+            if lbl[0] == "c":
+                text = chr(lbl[1]) if 32 <= lbl[1] < 127 else hex(lbl[1])
+            else:
+                text = repr(lbl[1])
+            text = text.replace('"', "'")
+            lines.append(f'  n{src} -> n{dst} [label="{text}"];')
+    lines.append("}")
+    dot_path = filename + ".dot"
+    with open(dot_path, "w") as fh:
+        fh.write("\n".join(lines))
+    try:
+        subprocess.run(["dot", "-Tpdf", dot_path, "-o", filename + ".pdf"],
+                       check=True, capture_output=True)
+        return filename + ".pdf"
+    except (FileNotFoundError, subprocess.CalledProcessError):
+        return dot_path
+
+
 def equiv_upto_epsilon(got: Optional[Trace], want: Trace) -> bool:
     """Trace equality modulo ε-steps (the reference's test helper,
     safa.rs:538)."""
