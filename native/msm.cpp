@@ -300,4 +300,102 @@ void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
   memcpy(out + 32, Y.v, 32);
   memcpy(out + 64, Z.v, 32);
 }
+
+// Batched basis fold for the IPA: out[i] = xi*lo[i] + x*hi[i], affine out.
+// Scalars xi, x: 32B LE; points lo/hi/out: 65B affine (x, y, inf).
+// Batch inversion (Montgomery's trick) for the affine conversion.
+void pasta_fold_points(int curve_id, int64_t n, const uint8_t* xi_b,
+                       const uint8_t* x_b, const uint8_t* lo,
+                       const uint8_t* hi, uint8_t* out) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+
+  auto load_pt = [&](const uint8_t* pp, Pt& P) {
+    if (pp[64]) {
+      P = cv.ident;
+      return;
+    }
+    Fe x, y;
+    memcpy(x.v, pp, 32);
+    memcpy(y.v, pp + 32, 32);
+    f.to_mont(P.X, x);
+    f.to_mont(P.Y, y);
+    memcpy(P.Z.v, f.c.one_m, 32);
+  };
+
+  // scalar mul via double-and-add over 255 bits (projective, complete adds)
+  auto smul = [&](const uint8_t* s, const Pt& P, Pt& O) {
+    O = cv.ident;
+    Pt base = P;
+    for (int bit = 0; bit < 255; bit++) {
+      if ((s[bit >> 3] >> (bit & 7)) & 1) cv.padd(O, O, base);
+      cv.padd(base, base, base);
+    }
+  };
+
+  std::vector<Pt> res(n);
+  for (int64_t i = 0; i < n; i++) {
+    Pt L, H, A, B;
+    load_pt(lo + i * 65, L);
+    load_pt(hi + i * 65, H);
+    smul(xi_b, L, A);
+    smul(x_b, H, B);
+    cv.padd(res[i], A, B);
+  }
+
+  // batch affine conversion: invert all Z together
+  std::vector<Fe> zs(n), prefix(n + 1);
+  memcpy(prefix[0].v, f.c.one_m, 32);
+  std::vector<bool> inf(n);
+  for (int64_t i = 0; i < n; i++) {
+    bool z_is_zero = true;
+    Fe z_can;
+    f.from_mont(z_can, res[i].Z);
+    for (int k = 0; k < 4; k++)
+      if (z_can.v[k]) z_is_zero = false;
+    inf[i] = z_is_zero;
+    zs[i] = res[i].Z;
+    if (z_is_zero) memcpy(zs[i].v, f.c.one_m, 32);
+    f.mul(prefix[i + 1], prefix[i], zs[i]);
+  }
+  // inverse of the total product via Fermat
+  Fe inv_total, base = prefix[n];
+  memcpy(inv_total.v, f.c.one_m, 32);
+  // exponent p-2, square-and-multiply MSB->LSB
+  u64 e[4];
+  memcpy(e, f.c.p, 32);
+  // subtract 2
+  if (e[0] >= 2) {
+    e[0] -= 2;
+  } else {
+    e[0] = (u64)(e[0] - 2);
+    int k = 1;
+    while (e[k] == 0) e[k++] -= 1;
+    e[k] -= 1;
+  }
+  for (int bit = 254; bit >= 0; bit--) {
+    f.mul(inv_total, inv_total, inv_total);
+    if ((e[bit >> 6] >> (bit & 63)) & 1) f.mul(inv_total, inv_total, base);
+  }
+  // walk back
+  for (int64_t i = n - 1; i >= 0; i--) {
+    Fe zi;
+    f.mul(zi, inv_total, prefix[i]);         // 1/z_i
+    f.mul(inv_total, inv_total, zs[i]);      // strip z_i
+    uint8_t* op = out + i * 65;
+    if (inf[i]) {
+      memset(op, 0, 65);
+      op[64] = 1;
+      continue;
+    }
+    Fe xa, ya;
+    f.mul(xa, res[i].X, zi);
+    f.mul(ya, res[i].Y, zi);
+    f.from_mont(xa, xa);
+    f.from_mont(ya, ya);
+    memcpy(op, xa.v, 32);
+    memcpy(op + 32, ya.v, 32);
+    op[64] = 0;
+  }
+}
 }

@@ -82,8 +82,12 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
         xi = pow(x, -1, p)
         w = [(x * a + xi * b) % p for a, b in zip(w_lo, w_hi)]
         R = [(xi * a + x * b) % p for a, b in zip(R_lo, R_hi)]
-        G = [cv.add(cv.mul(xi, a), cv.mul(x, b))
-             for a, b in zip(G_lo, G_hi)]
+        try:
+            from ..ec.native_msm import fold_points_native
+            G = fold_points_native(cv, xi, x, G_lo, G_hi)
+        except RuntimeError:
+            G = [cv.add(cv.mul(xi, a), cv.mul(x, b))
+                 for a, b in zip(G_lo, G_hi)]
         rho_p = (x * x % p * r_L + rho_p + xi * xi % p * r_R) % p
         n = half
 

@@ -210,6 +210,17 @@ class ConstraintSystem:
             return [lc_add(*[lc_scale(s[j], mds[i][j]) for j in range(t)])
                     for i in range(t)]
 
+        def rebind(lc: LC) -> LC:
+            # cap LC support growth: untouched lanes accumulate wide linear
+            # combinations across partial rounds, making constraint-matrix
+            # rows (and build time) quadratic; a periodic fresh wire keeps
+            # them sparse for ~40 extra constraints per permutation
+            if len(lc) <= 24:
+                return lc
+            w = self.aux("", lambda z, lc=lc: self.eval_lc(lc, z))
+            self.enforce_eq(w, lc)
+            return w
+
         for rnd in range(r_f + r_p):
             full = rnd < half or rnd >= half + r_p
             s = [lc_add(x, lc_const(rc[ci + i])) for i, x in enumerate(s)]
@@ -219,6 +230,8 @@ class ConstraintSystem:
             else:
                 s = [sbox(s[0])] + s[1:]
             s = mix(s)
+            if rnd % 8 == 7:
+                s = [rebind(x) for x in s]
         return s
 
 

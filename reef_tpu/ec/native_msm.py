@@ -34,10 +34,55 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.pasta_msm.restype = None
+        lib.pasta_fold_points.restype = None
         _LIB = lib
     except Exception:
         _BUILD_FAILED = True
     return _LIB
+
+
+def _pack_points(points) -> bytearray:
+    buf = bytearray(65 * len(points))
+    for i, pt in enumerate(points):
+        if pt is None:
+            buf[65 * i + 64] = 1
+        else:
+            buf[65 * i:65 * i + 32] = pt[0].to_bytes(32, "little")
+            buf[65 * i + 32:65 * i + 64] = pt[1].to_bytes(32, "little")
+    return buf
+
+
+def _unpack_points(buf, n):
+    out = []
+    for i in range(n):
+        if buf[65 * i + 64]:
+            out.append(None)
+        else:
+            x = int.from_bytes(bytes(buf[65 * i:65 * i + 32]), "little")
+            y = int.from_bytes(bytes(buf[65 * i + 32:65 * i + 64]), "little")
+            out.append((x, y))
+    return out
+
+
+def fold_points_native(curve, xi: int, x: int, lo, hi):
+    """[xi*lo[i] + x*hi[i]] batched (the IPA basis fold)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native msm unavailable")
+    from .pasta import PALLAS
+    curve_id = 0 if curve is PALLAS else 1
+    n = len(lo)
+    assert len(hi) == n
+    lo_b = _pack_points(lo)
+    hi_b = _pack_points(hi)
+    out = ctypes.create_string_buffer(65 * n)
+    xi_b = (xi % curve.order).to_bytes(32, "little")
+    x_b = (x % curve.order).to_bytes(32, "little")
+    lib.pasta_fold_points(
+        ctypes.c_int(curve_id), ctypes.c_int64(n), xi_b, x_b,
+        (ctypes.c_char * len(lo_b)).from_buffer(lo_b),
+        (ctypes.c_char * len(hi_b)).from_buffer(hi_b), out)
+    return _unpack_points(bytearray(out.raw), n)
 
 
 def msm_native(curve, scalars: List[int], points) -> Optional[tuple]:
