@@ -96,6 +96,14 @@ def build_safa(args, ab: List[int]) -> SAFA:
 
 
 def main(argv=None):
+    try:
+        return _main(argv)
+    except (ValueError, AssertionError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        sys.exit(1)
+
+
+def _main(argv=None):
     ap = argparse.ArgumentParser(prog="reef_tpu")
     ap.add_argument("alphabet", choices=["ascii", "utf8", "dna"])
     mode = ap.add_mutually_exclusive_group(required=True)

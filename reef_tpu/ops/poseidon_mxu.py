@@ -57,7 +57,9 @@ def _mxu_consts(lf: LimbField, t: int):
     is_full = np.zeros(n_rounds, bool)
     is_full[:half] = True
     is_full[n_rounds - half:] = True
-    return jnp.asarray(A), rc_arr, is_full
+    # NB: numpy only — caching a jnp array created under a jit trace leaks
+    # tracers into later traces
+    return A, rc_arr, is_full
 
 
 def _mds_matmul(lf: LimbField, s, t: int, A8):
@@ -78,6 +80,7 @@ def permute(lf: LimbField, state, t: int | None = None):
     if t is None:
         t = state.shape[-2]
     A8, rc, is_full = _mxu_consts(lf, t)
+    A8 = jnp.asarray(A8)
     rc = jnp.asarray(rc)
     is_full = jnp.asarray(is_full)
 

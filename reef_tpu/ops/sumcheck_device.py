@@ -40,40 +40,48 @@ def _tree_sum(lf, arr):
     return arr[0]
 
 
-def _rounds_kernel(lf: LimbField, ell: int, t_tab, eq_tab, state):
-    """ell sumcheck rounds; state is the (5, N) sponge state positioned
-    after the claim_r squeeze (pos=1, squeezing).  Returns
-    (rs (ell,N), gs (ell,3,N), final_t (N,), state)."""
-    rs = []
-    gs = []
-    for _ in range(ell):
-        half = t_tab.shape[0] // 2
-        t0, t1 = t_tab[:half], t_tab[half:]
-        e0, e1 = eq_tab[:half], eq_tab[half:]
-        ts = limb.sub(lf, t1, t0)
-        es = limb.sub(lf, e1, e0)
-        xsq = _tree_sum(lf, limb.mul(lf, ts, es))
-        x = _tree_sum(lf, limb.add(lf, limb.mul(lf, es, t0),
-                                   limb.mul(lf, ts, e0)))
-        con = _tree_sum(lf, limb.mul(lf, t0, e0))
-        # sponge absorb [con, x, xsq] at lanes 1..3 (squeeze->absorb resets
-        # pos to 0 without permuting), then squeeze lane 1 after a permute
-        state = state.at[1].set(limb.add(lf, state[1], con))
-        state = state.at[2].set(limb.add(lf, state[2], x))
-        state = state.at[3].set(limb.add(lf, state[3], xsq))
-        state = poseidon.permute(lf, state, 5)
-        r = state[1]
-        rb = jnp.broadcast_to(r, t0.shape)
-        t_tab = limb.add(lf, t0, limb.mul(lf, rb, ts))
-        eq_tab = limb.add(lf, e0, limb.mul(lf, rb, es))
-        rs.append(r)
-        gs.append(jnp.stack([xsq, x, con]))
-    return (jnp.stack(rs), jnp.stack(gs), t_tab[0], state)
+def _one_round_kernel(lf: LimbField, t_tab, eq_tab, state):
+    """ONE sumcheck round (state is the sponge at pos=1, squeezing).
+
+    Jitted per table size: compiling all rounds fused inlines ell Poseidon
+    scans into one graph, which the tunneled TPU compiler cannot digest;
+    per-round graphs are permute-scan-sized and compile in seconds, cached
+    across every round/batch/proof with the same shape."""
+    half = t_tab.shape[0] // 2
+    t0, t1 = t_tab[:half], t_tab[half:]
+    e0, e1 = eq_tab[:half], eq_tab[half:]
+    ts = limb.sub(lf, t1, t0)
+    es = limb.sub(lf, e1, e0)
+    xsq = _tree_sum(lf, limb.mul(lf, ts, es))
+    x = _tree_sum(lf, limb.add(lf, limb.mul(lf, es, t0),
+                               limb.mul(lf, ts, e0)))
+    con = _tree_sum(lf, limb.mul(lf, t0, e0))
+    # sponge absorb [con, x, xsq] at lanes 1..3 (squeeze->absorb resets pos
+    # to 0 without permuting), then squeeze lane 1 after a permute
+    state = state.at[1].set(limb.add(lf, state[1], con))
+    state = state.at[2].set(limb.add(lf, state[2], x))
+    state = state.at[3].set(limb.add(lf, state[3], xsq))
+    state = poseidon.permute(lf, state, 5)
+    r = state[1]
+    rb = jnp.broadcast_to(r, t0.shape)
+    t_fold = limb.add(lf, t0, limb.mul(lf, rb, ts))
+    e_fold = limb.add(lf, e0, limb.mul(lf, rb, es))
+    return t_fold, e_fold, jnp.stack([xsq, x, con]), r, state
 
 
 @functools.lru_cache(maxsize=None)
-def _rounds_jit(lf: LimbField, ell: int):
-    return jax.jit(functools.partial(_rounds_kernel, lf, ell))
+def _round_jit(lf: LimbField):
+    return jax.jit(functools.partial(_one_round_kernel, lf))
+
+
+def _rounds_all(lf: LimbField, ell: int, t_tab, eq_tab, state):
+    fn = _round_jit(lf)
+    rs, gs = [], []
+    for _ in range(ell):
+        t_tab, eq_tab, g, r, state = fn(t_tab, eq_tab, state)
+        rs.append(r)
+        gs.append(g)
+    return jnp.stack(rs), jnp.stack(gs), t_tab[0], state
 
 
 def _build_eq_kernel(lf: LimbField, ell: int, qs_idx, rs_pow, run_pow,
@@ -147,8 +155,8 @@ def device_sumcheck_rounds(lf: LimbField, cache: DeviceTableCache,
     pq_dev = jnp.asarray(lf.encode([q % lf.p_int for q in prev_q]))
 
     eq_tab = _eq_jit(lf, ell)(qs_idx, rs_dev, run_dev, pq_dev)
-    rs_out, gs_out, final_t, state_out = _rounds_jit(lf, ell)(
-        cache.t_dev, eq_tab, state)
+    rs_out, gs_out, final_t, state_out = _rounds_all(
+        lf, ell, cache.t_dev, eq_tab, state)
 
     sc_rs = lf.decode(np.asarray(rs_out))
     gs = lf.decode(np.asarray(gs_out).reshape(-1, limb.N))

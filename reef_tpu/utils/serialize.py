@@ -24,7 +24,11 @@ def save(path: str, kind: str, obj) -> int:
 
 def load(path: str, kind: str):
     with open(path, "rb") as fh:
-        data = pickle.loads(fh.read())
+        try:
+            data = pickle.loads(fh.read())
+        except Exception as e:
+            raise ValueError(f"{path}: corrupt or unreadable artifact "
+                             f"({type(e).__name__})") from None
     assert data.get("magic") == MAGIC, f"{path}: not a reef_tpu artifact"
     assert data.get("version") == VERSION, f"{path}: version mismatch"
     assert data.get("kind") == kind, (
