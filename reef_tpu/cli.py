@@ -119,6 +119,10 @@ def _main(argv=None):
     ap.add_argument("-m", "--merkle", action="store_true")
     ap.add_argument("-n", "--negate", action="store_true")
     ap.add_argument("--cmt-name", default=None)
+    ap.add_argument("--seed", type=int, default=None,
+                    help="deterministic commitment randomness (conformance "
+                         "testing; production uses OS randomness, mirroring "
+                         "the reference's OsRng salts, commitment.rs:152)")
     ap.add_argument("--proof-name", default=None)
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--alpha-numeric", action="store_true")
@@ -134,7 +138,8 @@ def _main(argv=None):
     if args.commit or args.e2e:
         doc = read_doc(args.doc, args, ab)
         mt.tic("CommitmentGen", "generation")
-        commit, secret = FW.run_committer(doc, ab, args.merkle)
+        commit, secret = FW.run_committer(doc, ab, args.merkle,
+                                          seed=args.seed)
         mt.stop("CommitmentGen", "generation")
         n = serialize.save(cmt_path, "cmt", commit)
         mt.space("CommitmentGen", "commitment", n)
