@@ -34,14 +34,14 @@ BLOCK = 1024          # elements per grid block (8 sublanes x 128 lanes)
 SUB = BLOCK // 128    # 8
 
 
-def _mul_body(f: LimbField, a_ref, b_ref, o_ref):
-    """Montgomery product on one block: refs are (16, 8, 128) uint32."""
+def mul_tile(f: LimbField, a, b):
+    """Montgomery product on register tiles: a, b are lists of N same-shape
+    uint32 arrays (one per limb); returns the product limb list.  Shared by
+    the field kernel and the Pallas EC kernels."""
     mask = u32(F.LIMB_MASK)
     n0inv = u32(int(f.n0inv))
     p_limbs = [u32(int(v)) for v in f.p]
 
-    a = [a_ref[i] for i in range(N)]
-    b = [b_ref[i] for i in range(N)]
     zero = jnp.zeros_like(a[0])
     cols = [zero] * (2 * N)
     for i in range(N):
@@ -64,7 +64,13 @@ def _mul_body(f: LimbField, a_ref, b_ref, o_ref):
         t = cols[k] + carry
         res.append(t & mask)
         carry = t >> BITS
-    # conditional subtract p
+    return _cond_sub_tile(f, res)
+
+
+def _cond_sub_tile(f: LimbField, res):
+    mask = u32(F.LIMB_MASK)
+    p_limbs = [u32(int(v)) for v in f.p]
+    zero = jnp.zeros_like(res[0])
     borrow = zero
     sub = []
     for k in range(N):
@@ -72,8 +78,50 @@ def _mul_body(f: LimbField, a_ref, b_ref, o_ref):
         sub.append(t & mask)
         borrow = u32(1) - (t >> BITS)
     geq = borrow == 0
+    return [jnp.where(geq, sub[k], res[k]) for k in range(N)]
+
+
+def add_tile(f: LimbField, a, b):
+    """Modular addition on register tiles (limb lists)."""
+    mask = u32(F.LIMB_MASK)
+    zero = jnp.zeros_like(a[0])
+    carry = zero
+    out = []
     for k in range(N):
-        o_ref[k] = jnp.where(geq, sub[k], res[k])
+        t = a[k] + b[k] + carry
+        out.append(t & mask)
+        carry = t >> BITS
+    return _cond_sub_tile(f, out)
+
+
+def sub_tile(f: LimbField, a, b):
+    """Modular subtraction on register tiles."""
+    mask = u32(F.LIMB_MASK)
+    p_limbs = [u32(int(v)) for v in f.p]
+    zero = jnp.zeros_like(a[0])
+    borrow = zero
+    diff = []
+    for k in range(N):
+        t = a[k] + u32(1 << BITS) - b[k] - borrow
+        diff.append(t & mask)
+        borrow = u32(1) - (t >> BITS)
+    neg = borrow != 0
+    carry = zero
+    out = []
+    for k in range(N):
+        t = diff[k] + p_limbs[k] + carry
+        out.append(t & mask)
+        carry = t >> BITS
+    return [jnp.where(neg, out[k], diff[k]) for k in range(N)]
+
+
+def _mul_body(f: LimbField, a_ref, b_ref, o_ref):
+    """Montgomery product on one block: refs are (16, 8, 128) uint32."""
+    a = [a_ref[i] for i in range(N)]
+    b = [b_ref[i] for i in range(N)]
+    out = mul_tile(f, a, b)
+    for k in range(N):
+        o_ref[k] = out[k]
 
 
 @functools.lru_cache(maxsize=None)
