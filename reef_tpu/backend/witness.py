@@ -251,10 +251,41 @@ class WitnessGenerator:
 
         return wits, result
 
+    def _maybe_device_cache(self, tag: str, table):
+        """Device table cache for the sumcheck hot loop: engaged on TPU for
+        large tables (REEF_DEVICE_SUMCHECK=0 disables, =1 forces).
+
+        The host python round loop costs ~10s/batch at 1MB docs; the device
+        path is ~1s/batch once its per-shape kernels are compiled (use a
+        persistent jax compilation cache to amortize across runs)."""
+        import os
+        mode = os.environ.get("REEF_DEVICE_SUMCHECK", "auto")
+        if mode == "0":
+            return None
+        if not hasattr(self, "_dev_caches"):
+            self._dev_caches = {}
+        key = (tag, len(table))
+        if key in self._dev_caches:
+            return self._dev_caches[key]
+        cache = None
+        if mode == "1" or (mode == "auto" and len(table) >= (1 << 14)):
+            try:
+                import jax
+                if mode == "1" or jax.devices()[0].platform == "tpu":
+                    from ..ops.sumcheck_device import DeviceTableCache
+                    from ..ops.limb import FQ as LFQ
+                    cache = DeviceTableCache(LFQ, table)
+            except Exception:
+                cache = None
+        self._dev_caches[key] = cache
+        return cache
+
     def _fill_nl(self, wits, tag: str, table, qs, vs, prev_q, prev_v,
                  doc_hash, result, attr: str = "nl"):
         f = F.FQ
-        proof = nlookup_prove(f, table, qs, vs, prev_q, prev_v, tag, doc_hash)
+        proof = nlookup_prove(f, table, qs, vs, prev_q, prev_v, tag, doc_hash,
+                              device_cache=self._maybe_device_cache(tag,
+                                                                    table))
         sc_l = len(proof.sc_rs)
         for i, q in enumerate(qs):
             for j in range(sc_l):
