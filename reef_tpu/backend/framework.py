@@ -223,16 +223,48 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     prover = FoldingProver(shape, wc, ec)
     last_res = None
     mt.tic("Solver", "fa_solver+wit")
-    i = 0
+
+    # solver/prover pipeline (the reference's two-thread design,
+    # framework.rs:98-165): witness generation (python-heavy) overlaps
+    # folding (native-MSM-heavy, releases the GIL) through a channel.
+    import queue
+    import threading
+
+    chan: "queue.Queue" = queue.Queue(maxsize=4)
+    fold_err = []
+
+    def fold_worker():
+        i = 0
+        while True:
+            wires = chan.get()
+            if wires is None:
+                return
+            try:
+                mt.tic("Prover", f"prove_{i}")
+                prover.fold_step(wires)
+                mt.stop("Prover", f"prove_{i}")
+            except Exception as e:  # surface in the main thread
+                fold_err.append(e)
+                return
+            finally:
+                chan.task_done()
+            i += 1
+
+    worker = threading.Thread(target=fold_worker, daemon=True)
+    worker.start()
     for wits, res in solve_and_batch(tt, circuit, doc_codes,
                                      commit.doc_commit_hash(), salt,
                                      merkle_commitment=mc):
         wires = circuit.compiled.witness(wits)
-        mt.tic("Prover", f"prove_{i}")
-        prover.fold_step(wires)
-        mt.stop("Prover", f"prove_{i}")
+        if fold_err:
+            break
+        chan.put(wires)
         last_res = res
-        i += 1
+    if not fold_err:
+        chan.put(None)
+    worker.join()
+    if fold_err:
+        raise fold_err[0]
     mt.stop("Solver", "fa_solver+wit")
 
     mt.tic("Prover", "compressed_snark")
