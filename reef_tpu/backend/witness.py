@@ -259,7 +259,11 @@ class WitnessGenerator:
         path is ~1s/batch once its per-shape kernels are compiled (use a
         persistent jax compilation cache to amortize across runs)."""
         import os
-        mode = os.environ.get("REEF_DEVICE_SUMCHECK", "auto")
+        # explicit opt-in only: on the tunneled single-chip environment the
+        # per-dispatch latency + compile-service fragility outweigh the win;
+        # on a local TPU set REEF_DEVICE_SUMCHECK=1 (or "auto" for
+        # size-gated engagement)
+        mode = os.environ.get("REEF_DEVICE_SUMCHECK", "0")
         if mode == "0":
             return None
         if not hasattr(self, "_dev_caches"):
