@@ -46,15 +46,20 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
     fn = jax.jit(lambda s: perm(lf, s, t))
     out = fn(state)
     _sync(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = fn(out)
-    _sync(out[0, 0, 0])
-    dt = (time.time() - t0) / iters
+    # the tunneled TPU is a shared/pooled resource with up to ~3x run-to-run
+    # noise: take the best of several timing rounds
+    best = None
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(iters):
+            out = fn(out)
+        _sync(out[0, 0, 0])
+        dt = (time.time() - t0) / iters
+        best = dt if best is None else min(best, dt)
     if use_pallas and on_tpu:
         from reef_tpu.ops import pallas_field
         pallas_field.disable()
-    return batch / dt
+    return batch / best
 
 
 def bench_msm_device(n=1 << 12):

@@ -76,24 +76,33 @@ def _mds_matmul(lf: LimbField, s, t: int, A8):
 
 
 def permute(lf: LimbField, state, t: int | None = None):
-    """MXU-MDS Poseidon permutation; bit-identical to poseidon.permute."""
+    """MXU-MDS Poseidon permutation; bit-identical to poseidon.permute.
+
+    Runs as three scans (full/partial/full) so partial rounds S-box ONLY
+    lane 0 — the single-phase mask variant wastes 3*(t-1) muls per partial
+    round (~70% of all S-box work for t=5)."""
     if t is None:
         t = state.shape[-2]
     A8, rc, is_full = _mxu_consts(lf, t)
     A8 = jnp.asarray(A8)
     rc = jnp.asarray(rc)
-    is_full = jnp.asarray(is_full)
+    half = FULL_ROUNDS // 2
+    r_p = PARTIAL_ROUNDS[t]
 
-    def round_fn(s, inputs):
-        rc_r, full = inputs
+    def full_round(s, rc_r):
         s = limb.add(lf, s, rc_r)
-        s5 = limb.pow5(lf, s)
-        lane0 = jnp.zeros(s.shape[:-1], bool).at[..., 0].set(True)
-        keep = lane0 | jnp.broadcast_to(full, s.shape[:-1])
-        s = limb.select(keep, s5, s)
+        s = limb.pow5(lf, s)
         return _mds_matmul(lf, s, t, A8), None
 
-    state, _ = jax.lax.scan(round_fn, state, (rc, is_full))
+    def partial_round(s, rc_r):
+        s = limb.add(lf, s, rc_r)
+        lane0 = limb.pow5(lf, s[..., 0, :])
+        s = s.at[..., 0, :].set(lane0)
+        return _mds_matmul(lf, s, t, A8), None
+
+    state, _ = jax.lax.scan(full_round, state, rc[:half])
+    state, _ = jax.lax.scan(partial_round, state, rc[half:half + r_p])
+    state, _ = jax.lax.scan(full_round, state, rc[half + r_p:])
     return state
 
 
