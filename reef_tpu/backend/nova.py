@@ -177,7 +177,40 @@ class RelaxedWitness:
     E_blinds: List[int]
 
 
-def absorb_commit(t: Transcript, label: bytes, c: HyraxCommitment):
+class PoseidonTranscript:
+    """Poseidon-sponge Fiat-Shamir transcript for the fold chain.
+
+    Unlike the SHA transcript (fine for host-only proofs), every absorb/
+    squeeze here is replayable inside the Fq step/augmented circuit
+    (backend.r1cs.CircuitSponge + backend.ec_gadgets), which is what lets
+    the round-2 IVC lift `verify_fold_chain` in-circuit.  Points absorb as
+    (x mod Q, parity); the 1-bit loss from the Fp->Fq reduction is
+    negligible for FS binding."""
+
+    def __init__(self, label: bytes):
+        from ..ops.poseidon import HostSponge, IOPattern
+        # an effectively unbounded alternating pattern; the tag binds label
+        ops = [("absorb", 4), ("squeeze", 1)] * 4096
+        self._sponge = HostSponge(f, IOPattern(ops, domain=b"fold/" + label))
+
+    def append(self, label: bytes, data):
+        if isinstance(data, int):
+            self._sponge.absorb([data % f.p])
+        elif isinstance(data, (list, tuple)):
+            for d in data:
+                self.append(label, d)
+        else:
+            self._sponge.absorb([int.from_bytes(bytes(data), "big") % f.p])
+
+    def append_point(self, label: bytes, curve, pt):
+        x, flag = curve.compress(pt)
+        self._sponge.absorb([x % f.p, flag])
+
+    def challenge(self, label: bytes, order: int) -> int:
+        return self._sponge.squeeze(1)[0] % order
+
+
+def absorb_commit(t, label: bytes, c: HyraxCommitment):
     for pt in c.row_commits:
         t.append_point(label, cv, pt)
 
@@ -202,7 +235,7 @@ class FoldingProver:
         self.shape = shape
         self.wc = wc
         self.ec = ec
-        self.t = Transcript(b"nova_fold")
+        self.t = PoseidonTranscript(b"nova_fold")
         self.t.append(b"shape", shape.digest)
         self.U: Optional[RelaxedInstance] = None
         self.Wit: Optional[RelaxedWitness] = None
@@ -269,7 +302,7 @@ def verify_fold_chain(shape: R1CSShape, ec: "VectorCommitter",
 
     The initial relaxed E commitment is the all-zero commitment with zero
     blinds (identity rows), matching the prover's construction."""
-    t = Transcript(b"nova_fold")
+    t = PoseidonTranscript(b"nova_fold")
     t.append(b"shape", shape.digest)
     U: Optional[RelaxedInstance] = None
     p = f.p
