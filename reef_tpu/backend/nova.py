@@ -189,22 +189,26 @@ class PoseidonTranscript:
 
     def __init__(self, label: bytes):
         from ..ops.poseidon import HostSponge, IOPattern
-        # an effectively unbounded alternating pattern; the tag binds label
+        # sponge over FP: the pallas-point folds get verified on the
+        # secondary (Fp) circuit in the IVC, where pallas x-coordinates and
+        # this sponge are both native.  An Fp squeeze is always a valid
+        # pallas scalar (P < Q).
         ops = [("absorb", 4), ("squeeze", 1)] * 4096
-        self._sponge = HostSponge(f, IOPattern(ops, domain=b"fold/" + label))
+        self._sponge = HostSponge(F.FP,
+                                  IOPattern(ops, domain=b"fold/" + label))
 
     def append(self, label: bytes, data):
         if isinstance(data, int):
-            self._sponge.absorb([data % f.p])
+            self._sponge.absorb([data % F.P])
         elif isinstance(data, (list, tuple)):
             for d in data:
                 self.append(label, d)
         else:
-            self._sponge.absorb([int.from_bytes(bytes(data), "big") % f.p])
+            self._sponge.absorb([int.from_bytes(bytes(data), "big") % F.P])
 
     def append_point(self, label: bytes, curve, pt):
         x, flag = curve.compress(pt)
-        self._sponge.absorb([x % f.p, flag])
+        self._sponge.absorb([x % F.P, flag])
 
     def challenge(self, label: bytes, order: int) -> int:
         return self._sponge.squeeze(1)[0] % order

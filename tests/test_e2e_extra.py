@@ -37,3 +37,10 @@ def test_password_policy_e2e():
     _, _, ok = e2e("^(?=.*[A-Z])(?=.*[a-z]).{6}$", "AaBbZz", "AaBbZz",
                    batch_size=2)
     assert ok
+
+
+def test_e2e_projections_and_hybrid():
+    # combined -p -y (the reference's proj_hybrid mode, r1cs.rs:2844+)
+    _, _, ok = e2e("^.{36}ACGT$", "ACGT", "A" * 36 + "ACGT",
+                   projections=True, hybrid=True, batch_size=2)
+    assert ok
