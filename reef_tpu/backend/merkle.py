@@ -98,10 +98,31 @@ class MerkleCommitment:
         return h == self.commitment
 
 
+_LEVEL_JITS = {}
+
+
+def _leaf_jit():
+    import jax
+    from ..ops import limb, poseidon
+    if "leaf" not in _LEVEL_JITS:
+        _LEVEL_JITS["leaf"] = jax.jit(
+            lambda arr: poseidon.hash_elems(limb.FQ, arr))
+    return _LEVEL_JITS["leaf"]
+
+
+def _pair_jit():
+    import jax
+    from ..ops import limb
+    if "pair" not in _LEVEL_JITS:
+        _LEVEL_JITS["pair"] = jax.jit(
+            lambda pairs: _device_hash2(limb.FQ, pairs))
+    return _LEVEL_JITS["pair"]
+
+
 def build_tree_device(udoc: List[int]) -> int:
     """Batched device tree build; returns the root (bench path).
 
-    Each level is one batched Poseidon call over all nodes."""
+    Each level is one jitted batched Poseidon call over all nodes."""
     import jax.numpy as jnp
     import numpy as np
     from ..ops import limb, poseidon
@@ -115,7 +136,7 @@ def build_tree_device(udoc: List[int]) -> int:
         idx_char.append([i, udoc[i], ri, rc])
     flat = [x for row in idx_char for x in row]
     arr = jnp.asarray(lf.encode(flat)).reshape(len(idx_char), 4, limb.N)
-    level = poseidon.hash_elems(lf, arr)          # (n/2, N)
+    level = _leaf_jit()(arr)                      # (n/2, N)
     while level.shape[0] > 1:
         m = level.shape[0]
         if m % 2:
@@ -123,11 +144,7 @@ def build_tree_device(udoc: List[int]) -> int:
                 [level, jnp.zeros((1, limb.N), jnp.uint32)])
             m += 1
         pairs = level.reshape(m // 2, 2, limb.N)
-        zeros = jnp.zeros((m // 2, 2, limb.N), jnp.uint32)
-        state4 = jnp.concatenate([pairs, zeros], axis=1)
-        # NB inner nodes absorb only 2 elements: emulate the host IOPattern
-        # tag for absorb-2 by hashing with the absorb-2 pattern
-        level = _device_hash2(lf, pairs)
+        level = _pair_jit()(pairs)
     return lf.decode(level[0])
 
 
