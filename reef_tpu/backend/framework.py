@@ -92,9 +92,9 @@ def consistency_circuit() -> CompiledCircuit:
 @dataclass
 class CapProof:
     d: int
-    comm_W_rows: list
+    comm_W: tuple           # compressed point
     spartan: SpartanProof
-    v_open: SigmaEvalProof
+    v_open: object          # IPA proof
 
 
 _CAP_CACHE: dict = {}
@@ -111,42 +111,47 @@ def _cap_setup():
 
 
 def cap_prove(v: int, salt: int, v_blind: int) -> CapProof:
+    from .commitment import eq_evals, shared_scalar_gens
+    from .ipa import ipa_prove
     from .nova import RelaxedWitness
+    from ..ec.pasta import PALLAS as _cv
     circ, shape, wc, ec = _cap_setup()
     d = StepCircuit._hide_host(v, salt)
     wires = circ.witness({"d": d, "v": v, "salt": salt})
     assert circ.check_all(wires) is None
     W, x = shape.split_wires(wires)
-    comm_W, blinds = wc.commit(W)
+    comm_W, blind_W = wc.commit(W)
     zero_E = [0] * shape.n_cons
-    comm_E, eb = ec.commit(zero_E, [0] * ec.pc.n_rows)
-    U = RelaxedInstance(comm_W, comm_E, 1, x)
-    Wit = RelaxedWitness(W, zero_E, blinds, [0] * ec.pc.n_rows)
+    U = RelaxedInstance(comm_W, None, 1, x)
+    Wit = RelaxedWitness(W, zero_E, blind_W, 0)
     sp = spartan_prove(shape, wc, ec, U, Wit)
-    # open W at v's index against C_v
+    # open W at v's wire index against C_v (one-hot eq vector -> W[idx] = v)
     idx = shape.wit_index("v")
     bits = [(idx >> (wc.n_vars - 1 - j)) & 1 for j in range(wc.n_vars)]
     w_pad = W + [0] * (wc.n - len(W))
-    v_open = wc.pc.prove_eval(w_pad, comm_W, blinds, bits, v, v_blind,
-                              Transcript(b"cap_open"))
-    return CapProof(d, comm_W.row_commits, sp, v_open)
+    R = eq_evals(F.FQ, bits)
+    C_v = shared_scalar_gens().commit([v % f.p], v_blind)
+    v_open = ipa_prove(wc.gens, shared_scalar_gens().G[0], w_pad, blind_W,
+                       R, v % f.p, v_blind, comm_W, C_v,
+                       Transcript(b"cap_open"))
+    return CapProof(d, _cv.compress(comm_W), sp, v_open)
 
 
 def cap_verify(proof: CapProof, v_commit) -> bool:
-    from .commitment import HyraxCommitment
+    from .commitment import eq_evals, shared_scalar_gens
+    from .ipa import ipa_verify
     from .nova import RelaxedInstance
+    from ..ec.pasta import PALLAS as _cv
     circ, shape, wc, ec = _cap_setup()
-    comm_W = HyraxCommitment(proof.comm_W_rows, wc.n_vars, wc.pc.l_left,
-                             wc.pc.l_right)
-    comm_E = HyraxCommitment([None] * ec.pc.n_rows, ec.n_vars, ec.pc.l_left,
-                             ec.pc.l_right)
-    U = RelaxedInstance(comm_W, comm_E, 1, [proof.d])
+    comm_W = _cv.decompress(proof.comm_W)
+    U = RelaxedInstance(comm_W, None, 1, [proof.d])
     if not spartan_verify(shape, wc, ec, U, proof.spartan):
         return False
     idx = shape.wit_index("v")
     bits = [(idx >> (wc.n_vars - 1 - j)) & 1 for j in range(wc.n_vars)]
-    return wc.pc.verify_eval(comm_W, bits, v_commit, proof.v_open,
-                             Transcript(b"cap_open"))
+    R = eq_evals(F.FQ, bits)
+    return ipa_verify(wc.gens, shared_scalar_gens().G[0], R, comm_W,
+                      v_commit, proof.v_open, Transcript(b"cap_open"))
 
 
 # ---------------------------------------------------------------------------

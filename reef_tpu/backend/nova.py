@@ -130,31 +130,33 @@ class R1CSShape:
 
 
 # ---------------------------------------------------------------------------
-# commitments (Hyrax row-matrix: component-wise homomorphic)
+# commitments: SINGLE-POINT Pedersen vector commitments.
+#
+# The round-1 prototype used Hyrax row matrices here; a single group element
+# per commitment makes the fold chain one point-add + scalar-mul per step
+# (and, crucially, ONE in-circuit fold gadget per step for the round-2 IVC
+# instead of one per row).  Spartan evaluation proofs run the log-round IPA
+# directly against the full-length commitment.
 # ---------------------------------------------------------------------------
 
 class VectorCommitter:
     def __init__(self, label: bytes, n: int):
+        from .commitment import PedersenGens
         self.n = next_power_of_two(max(n, 2))
         self.n_vars = logmn(self.n)
-        self.pc = HyraxPC(label, self.n_vars)
+        self.gens = PedersenGens(cv, label + b"/pv", self.n)
 
-    def commit(self, vec: List[int], blinds: Optional[List[int]] = None):
+    def commit(self, vec: List[int], blind: Optional[int] = None):
+        """-> (commitment Point, blind scalar)."""
+        import secrets
+        if blind is None:
+            blind = secrets.randbelow(f.p)
         padded = [v % f.p for v in vec] + [0] * (self.n - len(vec))
-        return self.pc.commit(padded, blinds)
+        return self.gens.commit(padded, blind), blind
 
     @staticmethod
-    def fold_commit(c1: HyraxCommitment, c2: HyraxCommitment, r: int
-                    ) -> HyraxCommitment:
-        rows = [cv.add(a, cv.mul(r, b))
-                for a, b in zip(c1.row_commits, c2.row_commits)]
-        return HyraxCommitment(rows, c1.n_vars, c1.l_left, c1.l_right)
-
-    @staticmethod
-    def zero_commit(like: "VectorCommitter") -> HyraxCommitment:
-        rows = [None] * like.pc.n_rows
-        return HyraxCommitment(rows, like.n_vars, like.pc.l_left,
-                               like.pc.l_right)
+    def fold_commit(c1: Point, c2: Point, r: int) -> Point:
+        return cv.add(c1, cv.mul(r, c2))
 
 
 # ---------------------------------------------------------------------------
@@ -163,8 +165,8 @@ class VectorCommitter:
 
 @dataclass
 class RelaxedInstance:
-    comm_W: HyraxCommitment
-    comm_E: HyraxCommitment
+    comm_W: Point           # None = identity (zero vector, zero blind)
+    comm_E: Point
     u: int
     x: List[int]
 
@@ -173,8 +175,8 @@ class RelaxedInstance:
 class RelaxedWitness:
     W: List[int]
     E: List[int]
-    W_blinds: List[int]
-    E_blinds: List[int]
+    W_blind: int
+    E_blind: int
 
 
 class PoseidonTranscript:
@@ -214,9 +216,8 @@ class PoseidonTranscript:
         return self._sponge.squeeze(1)[0] % order
 
 
-def absorb_commit(t, label: bytes, c: HyraxCommitment):
-    for pt in c.row_commits:
-        t.append_point(label, cv, pt)
+def absorb_commit(t, label: bytes, c: Point):
+    t.append_point(label, cv, c)
 
 
 def fold_challenge(t: Transcript, U: RelaxedInstance, u2_commW,
@@ -257,16 +258,14 @@ class FoldingProver:
         """Absorb one strict (u=1) step instance from full circuit wires."""
         shape = self.shape
         W2, x2 = shape.split_wires(wires)
-        comm_W2, blinds_W2 = self.wc.commit(W2)
+        comm_W2, blind_W2 = self.wc.commit(W2)
 
         az2, bz2, cz2 = self._vectors(W2, 1, x2)
 
         if self.U is None:
             zero_E = [0] * shape.n_cons
-            comm_E, blinds_E = self.ec.commit(zero_E, [0] * self.ec.pc.n_rows)
-            self.U = RelaxedInstance(comm_W2, comm_E, 1, x2)
-            self.Wit = RelaxedWitness(W2, zero_E, blinds_W2,
-                                      [0] * self.ec.pc.n_rows)
+            self.U = RelaxedInstance(comm_W2, None, 1, x2)
+            self.Wit = RelaxedWitness(W2, zero_E, blind_W2, 0)
             self._az, self._bz, self._cz = az2, bz2, cz2
             self.steps.append((comm_W2, x2, None))
             return
@@ -276,7 +275,7 @@ class FoldingProver:
         u1 = self.U.u
         T = [(az1[i] * bz2[i] + az2[i] * bz1[i] - u1 * cz2[i] - cz1[i]) % p
              for i in range(shape.n_cons)]
-        comm_T, blinds_T = self.ec.commit(T)
+        comm_T, blind_T = self.ec.commit(T)
 
         r = fold_challenge(self.t, self.U, comm_W2, x2, comm_T)
 
@@ -291,8 +290,8 @@ class FoldingProver:
         self.Wit = RelaxedWitness(
             [(a + r * b) % p for a, b in zip(Wit.W, W2)],
             [(a + r * b) % p for a, b in zip(Wit.E, T)],
-            [(a + r * b) % p for a, b in zip(Wit.W_blinds, blinds_W2)],
-            [(a + r * b) % p for a, b in zip(Wit.E_blinds, blinds_T)],
+            (Wit.W_blind + r * blind_W2) % p,
+            (Wit.E_blind + r * blind_T) % p,
         )
         self._az = [(a + r * b) % p for a, b in zip(az1, az2)]
         self._bz = [(a + r * b) % p for a, b in zip(bz1, bz2)]
@@ -310,12 +309,10 @@ def verify_fold_chain(shape: R1CSShape, ec: "VectorCommitter",
     t.append(b"shape", shape.digest)
     U: Optional[RelaxedInstance] = None
     p = f.p
-    zero_E = HyraxCommitment([None] * ec.pc.n_rows, ec.n_vars,
-                             ec.pc.l_left, ec.pc.l_right)
     for comm_W, x, comm_T in steps:
         if U is None:
             assert comm_T is None
-            U = RelaxedInstance(comm_W, zero_E, 1, list(x))
+            U = RelaxedInstance(comm_W, None, 1, list(x))
             continue
         r = fold_challenge(t, U, comm_W, x, comm_T)
         U = RelaxedInstance(

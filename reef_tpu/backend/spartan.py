@@ -35,7 +35,8 @@ from typing import List, Optional, Tuple
 from ..ec.pasta import PALLAS
 from ..ops import field as F
 from .commitment import (HyraxPC, SigmaEvalProof, Transcript, eq_evals,
-                         prove_equality, verify_equality)
+                         prove_equality, shared_scalar_gens, verify_equality)
+from .ipa import ipa_prove, ipa_verify
 from .costs import logmn, next_power_of_two
 from .nova import (R1CSShape, RelaxedInstance, RelaxedWitness,
                    VectorCommitter, absorb_commit)
@@ -142,10 +143,14 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     vA, vB, vC, vE = az[0], bz[0], cz[0], e[0]
     t.append(b"claims", [vA, vB, vC, vE])
 
-    # eval proof for E at rx
+    # eval proof for E at rx: direct log-round IPA against the single-point
+    # commitment (R = full eq vector at rx)
     e_pad = list(Wit.E) + [0] * (ec.n - shape.n_cons)
-    eval_E = ec.pc.prove_eval(e_pad, U.comm_E, Wit.E_blinds, rx, vE, 0,
-                              Transcript(b"spartan_E"))
+    G_s = shared_scalar_gens().G[0]
+    R_E = eq_evals(f, rx)
+    C_vE = shared_scalar_gens().commit([vE], 0)
+    eval_E = ipa_prove(ec.gens, G_s, e_pad, Wit.E_blind, R_E, vE, 0,
+                       U.comm_E, C_vE, Transcript(b"spartan_E"))
 
     # ---- sumcheck 2 ---------------------------------------------------
     rr = t.challenge(b"rr", p)
@@ -183,8 +188,10 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     from .sumcheck import verifier_mle_eval
     vW = verifier_mle_eval(f, w_pad, ry[1:])
     t.append(b"vW", vW)
-    eval_W = wc.pc.prove_eval(w_pad, U.comm_W, Wit.W_blinds, ry[1:], vW, 0,
-                              Transcript(b"spartan_W"))
+    R_W = eq_evals(f, ry[1:])
+    C_vW = shared_scalar_gens().commit([vW], 0)
+    eval_W = ipa_prove(wc.gens, G_s, w_pad, Wit.W_blind, R_W, vW, 0,
+                       U.comm_W, C_vW, Transcript(b"spartan_W"))
 
     return SpartanProof(sc1, vA, vB, vC, vE, eval_E, sc2, vW, eval_W)
 
@@ -221,9 +228,10 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     t.append(b"claims", [vA, vB, vC, vE])
 
     # E eval proof
-    vE_commit = ec.pc.sc_gens.commit([vE], 0)
-    if not ec.pc.verify_eval(U.comm_E, rx, vE_commit, proof.eval_E,
-                             Transcript(b"spartan_E")):
+    G_s = shared_scalar_gens().G[0]
+    vE_commit = shared_scalar_gens().commit([vE], 0)
+    if not ipa_verify(ec.gens, G_s, eq_evals(f, rx), U.comm_E, vE_commit,
+                      proof.eval_E, Transcript(b"spartan_E")):
         return False
 
     rr = t.challenge(b"rr", p)
@@ -258,6 +266,6 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
         return False
 
     t.append(b"vW", proof.vW)
-    vW_commit = wc.pc.sc_gens.commit([proof.vW], 0)
-    return wc.pc.verify_eval(U.comm_W, ry[1:], vW_commit, proof.eval_W,
-                             Transcript(b"spartan_W"))
+    vW_commit = shared_scalar_gens().commit([proof.vW], 0)
+    return ipa_verify(wc.gens, G_s, eq_evals(f, ry[1:]), U.comm_W,
+                      vW_commit, proof.eval_W, Transcript(b"spartan_W"))

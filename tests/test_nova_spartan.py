@@ -56,8 +56,8 @@ def test_fold_chain_and_relaxed_sat():
     # verifier-side folding agrees on the public instance
     U2 = verify_fold_chain(shape, ec, prover.steps)
     assert U2.u == U.u and U2.x == U.x
-    assert [p for p in U2.comm_W.row_commits] == U.comm_W.row_commits
-    assert [p for p in U2.comm_E.row_commits] == U.comm_E.row_commits
+    assert U2.comm_W == U.comm_W
+    assert U2.comm_E == U.comm_E
 
 
 def test_spartan_roundtrip():
