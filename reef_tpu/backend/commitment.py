@@ -69,6 +69,36 @@ class Transcript:
 # Pedersen
 # ---------------------------------------------------------------------------
 
+def _cached_gens(cv: Curve, label: bytes, n: int):
+    """Disk-cached deterministic generator derivation (try-and-increment
+    hash-to-curve costs ~2ms/point; suites re-derive thousands per
+    process otherwise)."""
+    import os
+    import pickle
+
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "reef_tpu")
+    key = hashlib.sha256(cv.name.encode() + b"/" + label
+                         + b"/%d" % n).hexdigest()[:24]
+    path = os.path.join(cache_dir, f"gens_{key}.pkl")
+    try:
+        with open(path, "rb") as fh:
+            pts = pickle.load(fh)
+        if len(pts) == n:
+            return pts
+    except Exception:
+        pass
+    pts = cv.gens(label, n)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "wb") as fh:
+            pickle.dump(pts, fh)
+        os.replace(tmp, path)
+    except Exception:
+        pass
+    return pts
+
+
 _BLIND_H = None
 
 
@@ -85,7 +115,7 @@ def shared_blinding_gen() -> Point:
 class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
-        self.G = cv.gens(label, n)
+        self.G = _cached_gens(cv, label, n)
         self.H = shared_blinding_gen() if cv is PALLAS else \
             cv.hash_to_curve(label + b"/blind")
 
