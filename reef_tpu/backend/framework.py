@@ -304,6 +304,20 @@ def run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
                  batch_size: int = 0, projections: bool = False,
                  hybrid: bool = False, merkle: bool = False,
                  metrics=None) -> bool:
+    """Clean-reject wrapper: malformed prover data (bad points, wrong
+    structure) raises VerifyError in the parsing layers and rejects here."""
+    from ..errors import VerifyError
+    try:
+        return _run_verifier(commit, safa, proofs, batch_size, projections,
+                             hybrid, merkle, metrics)
+    except (VerifyError, TypeError, IndexError, KeyError):
+        return False
+
+
+def _run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
+                  batch_size: int = 0, projections: bool = False,
+                  hybrid: bool = False, merkle: bool = False,
+                  metrics=None) -> bool:
     from ..utils.metrics import Metrics
     from .sumcheck import verifier_mle_eval
     mt = metrics or Metrics()
@@ -368,9 +382,29 @@ def run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
             return False
         if cp.hash_d != hash_slot:
             return False
+        # Bind the eval point: the verifier recomputes the expected running
+        # q from zn's circuit-carried doc claim point (split: the nldoc
+        # slots; hybrid: the combined hq slots) + the deterministically
+        # re-derived projection chunk bits, and rejects a proof whose
+        # consistency eval runs at any other point.  Without this the doc
+        # MLE could be opened at a prover-chosen q', unlinking the
+        # committed document from the circuit's claim.
+        if hybrid:
+            circ_q = zn[1:1 + hyb_l]
+        else:
+            circ_q = zn[2 + sc_l:2 + sc_l + doc_l]
+        try:
+            expected_q = CM.adjust_running_q(
+                commit.nldoc.n_vars, circ_q, tt.proj_chunk_idx,
+                tt.doc_subset is not None, hybrid)
+        except AssertionError:
+            return False
+        if [v % f.p for v in cp.running_q] != \
+                [v % f.p for v in expected_q]:
+            return False
         if not CM.verify_consistency(
                 commit.nldoc, cp, table=tt.table,
-                q=None if not hybrid else _hyb_q_from(proofs, hyb_l)):
+                q=None if not hybrid else circ_q):
             return False
         # CAP: Poseidon(v,salt)=hash_d, v committed with the SAME commitment
         # the dot-product argument used
@@ -382,15 +416,3 @@ def run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
             return False
     mt.stop("Verifier", "consistency_verification")
     return True
-
-
-def _hyb_q_from(proofs: Proofs, hyb_l: int):
-    # hybrid verification needs the full running q (public via the zn slots
-    # is not available since only the hash is carried; the consistency proof
-    # carries running_q adjusted -- recover the circuit-level q from the
-    # final step's z_out
-    arity_x = proofs.steps[-1][1]
-    # z_out starts after z_in: [state, hq..., hash, sp, stack..., cursor]
-    n = (len(arity_x) - 1) // 2
-    z_out = arity_x[n:2 * n]
-    return z_out[1:1 + hyb_l]

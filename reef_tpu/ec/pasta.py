@@ -187,11 +187,26 @@ class Curve:
         return (x, y & 1)
 
     def decompress(self, comp: Tuple[int, int]) -> Point:
+        """Strict decompression of untrusted bytes: rejects (VerifyError)
+        non-canonical x >= p, unknown flags, and non-residue x — a malformed
+        point in a proof must be a clean reject, not a crash (the round-1
+        assert here was an AssertionError DoS on the verifier)."""
+        from ..errors import VerifyError
+        if (not isinstance(comp, (tuple, list)) or len(comp) != 2
+                or not all(isinstance(v, int) for v in comp)):
+            raise VerifyError("malformed compressed point")
         x, flag = comp
         if flag == 2:
+            if x != 0:
+                raise VerifyError("non-canonical identity encoding")
             return None
+        if flag not in (0, 1):
+            raise VerifyError("bad point parity flag")
+        if not (0 <= x < self.p):
+            raise VerifyError("point x out of field range")
         y = self.sqrt((x * x * x + B) % self.p)
-        assert y is not None
+        if y is None:
+            raise VerifyError("x not on curve")
         if y & 1 != flag:
             y = self.p - y
         return (x, y)

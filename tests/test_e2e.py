@@ -72,6 +72,50 @@ def test_e2e_tampered_proof_rejected():
     assert not FW.run_verifier(commit, safa, proofs, batch_size=2)
 
 
+def test_e2e_unbound_running_q_rejected():
+    """ADVICE r1 (high): the doc MLE is multilinear, so a malicious prover
+    can pick a fake prefix q'[:-1] and SOLVE the last coordinate so that
+    committed-doc~(q') = v, then produce a perfectly valid eval proof at
+    q' — unlinking the committed document from the circuit's claim.  The
+    verifier must recompute the expected eval point from zn and reject any
+    other running_q."""
+    from reef_tpu.backend import commitment as CM
+    from reef_tpu.backend.commitment import HyraxPC, Transcript
+    p = f.p
+    r = R.simpl(parser.parse("^baa$"))
+    safa = SAFA("ab", r)
+    codes = [ord(c) for c in "baa"]
+    commit, dc = FW.run_committer(codes, safa.ab, False, seed=11)
+    proofs = FW.run_prover(commit, dc, safa, codes, batch_size=2)
+    assert FW.run_verifier(commit, safa, proofs, batch_size=2)
+
+    cp = proofs.consist
+    pc = HyraxPC(b"doc", dc.n_vars)
+    v = pc.evaluate(dc._coeffs, cp.running_q)
+    # forge: different prefix, last coordinate solved for the same v
+    prefix = [(x + 1) % p for x in cp.running_q[:-1]]
+    a = pc.evaluate(dc._coeffs, prefix + [0])
+    b = pc.evaluate(dc._coeffs, prefix + [1])
+    assert a != b, "degenerate test point; pick another prefix"
+    t_last = (v - a) * pow(b - a, p - 2, p) % p
+    q_fake = prefix + [t_last]
+    assert pc.evaluate(dc._coeffs, q_fake) == v
+    v_blind = 5
+    v_commit = pc.sc_gens.commit([v], v_blind)
+    eval_proof = pc.prove_eval(dc._coeffs, dc.commit, dc._blinds, q_fake,
+                               v, v_blind, Transcript(b"dot_prod_proof"))
+    cp_forged = CM.ConsistencyProof(
+        cp.hash_d, CM.PALLAS.compress(v_commit), None, eval_proof, q_fake,
+        None, None)
+    cap_forged = FW.cap_prove(v, commit.hash_salt(), v_blind)
+    # the forged consistency proof is internally valid...
+    assert CM.verify_consistency(commit.nldoc, cp_forged)
+    proofs.consist = cp_forged
+    proofs.cap = cap_forged
+    # ...but the verifier now binds running_q to zn and rejects
+    assert not FW.run_verifier(commit, safa, proofs, batch_size=2)
+
+
 def test_e2e_wrong_flags_rejected():
     r = R.simpl(parser.parse("^baa$"))
     safa = SAFA("ab", r)
