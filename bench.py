@@ -142,6 +142,57 @@ def bench_e2e_prover(doc_kb=1):
         return (time.time() - t0) / doc_kb
 
 
+CACHE_PATH = __file__.rsplit("/", 1)[0] + "/.bench_cache.json"
+
+
+def _with_timeout(fn, seconds, tries=2, backoff=20):
+    """Run fn under SIGALRM with retry/backoff (the tunneled TPU's compile
+    service can be transiently wedged by other tenants; VERDICT r1 weak #1
+    asked for retry + last-good reporting instead of a zero)."""
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for attempt in range(tries):
+            signal.alarm(seconds)
+            try:
+                out = fn()
+                signal.alarm(0)
+                return out
+            except _Timeout:
+                if attempt + 1 < tries:
+                    time.sleep(backoff)
+            except Exception:
+                signal.alarm(0)
+                raise
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _load_cache():
+    try:
+        with open(CACHE_PATH) as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _store_cache(cache):
+    try:
+        with open(CACHE_PATH, "w") as fh:
+            json.dump(cache, fh)
+    except Exception:
+        pass
+
+
 def main():
     if "--all" in sys.argv:
         results = {}
@@ -159,40 +210,49 @@ def main():
             print(json.dumps({name: results[name]}), flush=True)
         return
 
-    # Watchdog: the tunneled TPU's compile service can wedge for hours on
-    # oversized graphs submitted by OTHER processes (BENCHMARKS.md infra
-    # note); never hang the driver.  The kernel benched here is itself a
-    # proven-safe graph size.
-    import signal
+    # Driver mode: ONE JSON line carrying the headline metric plus the
+    # other two headline numbers (MSM pts/s, e2e prover s/KB) as extras.
+    cache = _load_cache()
+    stale = []
 
-    class _Timeout(Exception):
-        pass
+    def measure(key, fn, seconds, tries=2):
+        val = None
+        err = None
+        try:
+            val = _with_timeout(fn, seconds, tries=tries)
+        except Exception as e:
+            err = f"{type(e).__name__}: {e}"
+        if val is not None:
+            cache[key] = round(val, 2)
+            _store_cache(cache)
+            return cache[key]
+        stale.append(key + ("" if err is None else f" ({err})"))
+        return cache.get(key, 0)
 
-    def _alarm(signum, frame):
-        raise _Timeout()
+    perms = measure("poseidon_perms_per_s", bench_poseidon, 420)
+    msm_native = measure("msm_native_pts_per_s", bench_msm_native, 120)
+    e2e = measure("e2e_prover_s_per_KB", bench_e2e_prover, 420, tries=1)
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(480)
-    try:
-        perms_per_s = bench_poseidon()
-        signal.alarm(0)
-    except _Timeout:
-        print(json.dumps({
-            "metric": "poseidon_permutations_per_s_per_chip",
-            "value": 0,
-            "unit": "perm/s",
-            "vs_baseline": 0,
-            "note": ("TPU tunnel unresponsive (known compile-service wedge, "
-                     "see BENCHMARKS.md); last healthy measurement: "
-                     "201065 perm/s = 1.005x baseline"),
-        }))
-        return
-    print(json.dumps({
+    out = {
         "metric": "poseidon_permutations_per_s_per_chip",
-        "value": round(perms_per_s, 1),
+        "value": perms,
         "unit": "perm/s",
-        "vs_baseline": round(perms_per_s / NEPTUNE_CPU_PERMS_PER_S, 3),
-    }))
+        "vs_baseline": round(perms / NEPTUNE_CPU_PERMS_PER_S, 3),
+        "extra": {
+            "msm_native_host_pts_per_s": msm_native,
+            "e2e_prover_s_per_KB": e2e,
+            "baseline_note": ("vs_baseline divides by an ESTIMATED 2e5 "
+                              "perm/s single-core neptune figure; the "
+                              "reference publishes no in-repo numbers "
+                              "(BASELINE.md)"),
+        },
+    }
+    if stale:
+        out["extra"]["stale_or_failed"] = stale
+        out["extra"]["note"] = ("values for listed keys are last-good "
+                                "cached measurements (tunnel wedge/retry "
+                                "exhausted)")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

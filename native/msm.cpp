@@ -9,8 +9,10 @@
 // are affine (x, y, infinity_flag).  curve_id 0 = Pallas (base field P),
 // 1 = Vesta (base field Q).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 #include <cstdlib>
 
@@ -234,15 +236,15 @@ extern "C" {
 // scalars: n * 32 bytes LE; points: n * 65 bytes (32 x, 32 y, 1 inf flag);
 // out: 65 bytes affine-compatible? -> out is 96 bytes projective
 // (X,Y,Z canonical non-Montgomery); python converts to affine.
-void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
-               const uint8_t* points, uint8_t* out) {
+void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
+                   const uint8_t* points, const int64_t* idx, uint8_t* out) {
   Curve& cv = *get_curve(curve_id);
   const Field& f = cv.f;
 
   // convert points to Montgomery projective
   std::vector<Pt> pts(n);
   for (int64_t i = 0; i < n; i++) {
-    const uint8_t* pp = points + i * 65;
+    const uint8_t* pp = points + (idx ? idx[i] : i) * 65;
     if (pp[64]) {
       pts[i] = cv.ident;
       continue;
@@ -268,14 +270,14 @@ void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
   int windows = (255 + c - 1) / c;
   int n_buckets = (1 << c) - 1;
 
-  Pt result = cv.ident;
-  std::vector<Pt> buckets(n_buckets);
-  for (int w = windows - 1; w >= 0; w--) {
-    for (int d = 0; d < c; d++) cv.padd(result, result, result);
-    for (int b = 0; b < n_buckets; b++) buckets[b] = cv.ident;
+  // window accumulations are independent: parallelize across threads and
+  // combine with the serial doubling chain afterwards (the reference gets
+  // the same effect from rayon inside the nova fork's MSMs)
+  std::vector<Pt> accs(windows);
+  auto do_window = [&](int w) {
+    std::vector<Pt> buckets(n_buckets, cv.ident);
     int bit0 = w * c;
     for (int64_t i = 0; i < n; i++) {
-      // extract c bits starting at bit0 from LE scalar
       const uint8_t* s = scalars + i * 32;
       uint32_t digit = 0;
       for (int k = 0; k < c; k++) {
@@ -289,7 +291,32 @@ void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
       cv.padd(running, running, buckets[b]);
       cv.padd(acc, acc, running);
     }
-    cv.padd(result, result, acc);
+    accs[w] = acc;
+  };
+
+  int n_threads = (int)std::thread::hardware_concurrency();
+  const char* tenv = getenv("REEF_MSM_THREADS");
+  if (tenv) n_threads = atoi(tenv);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > windows) n_threads = windows;
+  if (n_threads > 1 && n >= 256) {
+    std::vector<std::thread> threads;
+    std::atomic<int> next(0);
+    for (int t = 0; t < n_threads; t++) {
+      threads.emplace_back([&]() {
+        int w;
+        while ((w = next.fetch_add(1)) < windows) do_window(w);
+      });
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    for (int w = 0; w < windows; w++) do_window(w);
+  }
+
+  Pt result = cv.ident;
+  for (int w = windows - 1; w >= 0; w--) {
+    for (int d = 0; d < c; d++) cv.padd(result, result, result);
+    cv.padd(result, result, accs[w]);
   }
 
   Fe X, Y, Z;
@@ -299,6 +326,11 @@ void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
   memcpy(out, X.v, 32);
   memcpy(out + 32, Y.v, 32);
   memcpy(out + 64, Z.v, 32);
+}
+
+void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
+               const uint8_t* points, uint8_t* out) {
+  pasta_msm_idx(curve_id, n, scalars, points, nullptr, out);
 }
 
 // Batched basis fold for the IPA: out[i] = xi*lo[i] + x*hi[i], affine out.

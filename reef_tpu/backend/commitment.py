@@ -136,34 +136,50 @@ def _cached_gens(cv: Curve, label: bytes, n: int):
     return pts
 
 
-_BLIND_H = None
+_BLIND_H: dict = {}
 
 
-def shared_blinding_gen() -> Point:
-    """One global blinding generator H (the reference derives its vector
-    gens with the scalar gen's blinding gen, commitment.rs:178-182 — a
-    single H is required for the IPA's combined-blind algebra)."""
-    global _BLIND_H
-    if _BLIND_H is None:
-        _BLIND_H = PALLAS.hash_to_curve(b"reef/blind")
-    return _BLIND_H
+def shared_blinding_gen(cv: Curve = PALLAS) -> Point:
+    """One global blinding generator H per curve (the reference derives its
+    vector gens with the scalar gen's blinding gen, commitment.rs:178-182 —
+    a single H per curve is required for the IPA's combined-blind
+    algebra)."""
+    if cv.name not in _BLIND_H:
+        _BLIND_H[cv.name] = cv.hash_to_curve(b"reef/blind")
+    return _BLIND_H[cv.name]
 
 
 class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
         self.G = _cached_gens(cv, label, n)
-        self.H = shared_blinding_gen() if cv is PALLAS else \
-            cv.hash_to_curve(label + b"/blind")
+        self.H = shared_blinding_gen(cv)
+        self._packed = None
+
+    def packed_G(self):
+        """Native-packed basis for indexed MSMs (cached)."""
+        if self._packed is None:
+            from ..ec.native_msm import pack_points
+            self._packed = pack_points(self.G)
+        return self._packed
 
     def commit(self, values: List[int], blind: int) -> Point:
         cv = self.cv
-        return cv.add(cv.mul(blind, self.H), cv.msm(values, self.G[:len(values)]))
+        try:
+            from ..ec.native_msm import msm_packed
+            base = msm_packed(cv, list(values), self.packed_G())
+        except RuntimeError:
+            base = cv.msm(values, self.G[:len(values)])
+        return cv.add(cv.mul(blind, self.H), base)
 
 
 def eq_evals(f: F.HostField, point: List[int]) -> List[int]:
     """All 2^l values of ~eq(point, bits(j)), point MSB-first."""
     p = f.p
+    if len(point) >= 8:
+        from ..ops import native_fieldvec as FV
+        if FV.available() and p in FV.FIELD_ID:
+            return FV.eq_evals_native(point, p)
     out = [1]
     for q in point:
         # MSB-first: each new coordinate becomes the LOWEST index bit of the
@@ -201,16 +217,16 @@ def factored_lens(n_vars: int) -> Tuple[int, int]:
     return left, right
 
 
-_SC_GENS = None
+_SC_GENS: dict = {}
 
 
-def shared_scalar_gens() -> PedersenGens:
-    """One global scalar-commitment generator pair (the reference shares
-    `single_gens` across the CAP keys and Hyrax, commitment.rs:171-187)."""
-    global _SC_GENS
-    if _SC_GENS is None:
-        _SC_GENS = PedersenGens(PALLAS, b"reef/scalar", 1)
-    return _SC_GENS
+def shared_scalar_gens(cv: Curve = PALLAS) -> PedersenGens:
+    """One global scalar-commitment generator pair per curve (the reference
+    shares `single_gens` across the CAP keys and Hyrax,
+    commitment.rs:171-187)."""
+    if cv.name not in _SC_GENS:
+        _SC_GENS[cv.name] = PedersenGens(cv, b"reef/scalar", 1)
+    return _SC_GENS[cv.name]
 
 
 _VEC_GENS_CACHE: dict = {}

@@ -10,15 +10,17 @@ the device MSM path).  Protocol:
            whole polynomial+decommitments into the shared .cmt artifact,
            commitment.rs:56-69 — split here so the verifier never sees the
            document).
-  prove:   SAFA solve -> per-batch step-circuit witnesses -> fold chain
-           (strict instance per batch, cross-term commitments) -> Spartan
-           SNARK on the folded relaxed instance -> consistency proof for the
-           final doc running claim (+ CAP: Poseidon(v,salt)=d linked to the
-           Pedersen v-commitment used by the dot-product argument).
+  prove:   SAFA solve -> per-batch step-circuit witnesses -> 2-cycle Nova
+           IVC (backend.ivc: each step folds the previous instance and
+           verifies that fold in-circuit) -> one CompressedSNARK (two
+           Spartan proofs) -> consistency proof for the final doc running
+           claim (+ CAP: Poseidon(v,salt)=d linked to the Pedersen
+           v-commitment used by the dot-product argument).
   verify:  re-derive table/circuit/shape deterministically (framework.rs:
-           770-783), re-fold the public step instances, check z-vector
-           chaining (z_in(0)=z0, z_in(i)=z_out(i-1), step_i=i), final state/
-           stack/claim clear checks, Spartan verify, consistency verify.
+           770-783), O(1) IVC verification (two 250-bit state hashes, one
+           clear fold, two Spartan verifies), zn layout checks (exit state,
+           stack clear, table MLE eval), consistency verify with the eval
+           point bound to zn.
 """
 
 from __future__ import annotations
@@ -63,9 +65,12 @@ class ReefCommitment:
 
 @dataclass
 class Proofs:
-    """Proof artifact (.proof)."""
-    steps: List[Tuple[object, List[int], object]]   # (comm_W, x, comm_T)
-    spartan: SpartanProof
+    """Proof artifact (.proof) — CONSTANT SIZE in the number of folds.
+
+    ivc carries {U1, U2, u2_last, T_last, zn, n} + one Spartan SNARK per
+    curve (the reference's Proofs{compressed_snark, consist_proof},
+    framework.rs:53-57)."""
+    ivc: "IVCProof"
     consist: Optional[ConsistencyProof]
     cap: Optional["CapProof"]
 
@@ -179,6 +184,10 @@ def run_committer(doc_codes: List[int], ab_codes: List[int], merkle: bool,
 def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
               projections: bool, hybrid: bool, merkle: bool,
               udoc: Optional[List[int]] = None):
+    """Deterministic public setup (framework.rs:910-976): table + step
+    circuit + the AUGMENTED primary circuit (application + in-circuit fold
+    verifier) and its commitment keys."""
+    from .ivc_circuit import AugmentedPrimary
     proj = safa.projection() if projections else None
     tt = TransitionTable(safa, udoc, commit.udoc_len, commit.orig_doc_len,
                          batch_size=batch_size, projection=proj,
@@ -193,10 +202,11 @@ def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
             mc = _VerifierMerkle(commit.merkle_root, commit.udoc_len)
     circuit = StepCircuit(tt, commit.doc_commit_hash(),
                           merkle_commitment=mc)
-    shape = R1CSShape(circuit.compiled, circuit.io_names)
+    aug = AugmentedPrimary(circuit)
+    shape = R1CSShape(aug.compiled, aug.io_names)
     wc = VectorCommitter(b"reef_w", shape.w_pad)
     ec = VectorCommitter(b"reef_e", shape.n_cons)
-    return tt, circuit, shape, wc, ec, mc
+    return tt, circuit, aug, shape, wc, ec, mc
 
 
 class _VerifierMerkle:
@@ -216,22 +226,25 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
                projections: bool = False, hybrid: bool = False,
                merkle: bool = False, metrics=None) -> Proofs:
     from ..utils.metrics import Metrics
+    from .ivc import RecursiveSNARK
     mt = metrics or Metrics()
     udoc = doc_transform(safa.ab, doc_codes)
     mt.tic("Compiler", "r1cs_init")
-    tt, circuit, shape, wc, ec, mc = pub_setup(
+    tt, circuit, aug, shape, wc, ec, mc = pub_setup(
         safa, commit, batch_size, projections, hybrid, merkle, udoc)
     mt.stop("Compiler", "r1cs_init")
-    mt.r1cs("Prover", "step_circuit", circuit.compiled.num_constraints)
+    mt.r1cs("Prover", "step_circuit", aug.compiled.num_constraints)
 
     salt = commit.hash_salt()
-    prover = FoldingProver(shape, wc, ec)
+    z0 = circuit.z0(salt, tt.table[0])
+    rs = RecursiveSNARK(aug, shape, wc, ec, z0)
     last_res = None
     mt.tic("Solver", "fa_solver+wit")
 
     # solver/prover pipeline (the reference's two-thread design,
-    # framework.rs:98-165): witness generation (python-heavy) overlaps
-    # folding (native-MSM-heavy, releases the GIL) through a channel.
+    # framework.rs:98-165): app witness generation (sumcheck-heavy python)
+    # overlaps the IVC step (circuit eval + native MSMs, which release the
+    # GIL) through a bounded channel.
     import queue
     import threading
 
@@ -241,12 +254,12 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     def fold_worker():
         i = 0
         while True:
-            wires = chan.get()
-            if wires is None:
+            wits = chan.get()
+            if wits is None:
                 return
             try:
                 mt.tic("Prover", f"prove_{i}")
-                prover.fold_step(wires)
+                rs.prove_step(wits)
                 mt.stop("Prover", f"prove_{i}")
             except Exception as e:  # surface in the main thread
                 fold_err.append(e)
@@ -260,10 +273,9 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     for wits, res in solve_and_batch(tt, circuit, doc_codes,
                                      commit.doc_commit_hash(), salt,
                                      merkle_commitment=mc):
-        wires = circuit.compiled.witness(wits)
         if fold_err:
             break
-        chan.put(wires)
+        chan.put(wits)
         last_res = res
     if not fold_err:
         chan.put(None)
@@ -273,7 +285,7 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     mt.stop("Solver", "fa_solver+wit")
 
     mt.tic("Prover", "compressed_snark")
-    sp = spartan_prove(shape, wc, ec, prover.U, prover.Wit)
+    ivc_proof = rs.compress()
     mt.stop("Prover", "compressed_snark")
 
     consist = None
@@ -293,7 +305,7 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
         cap = cap_prove(v, salt, v_blind)
         mt.stop("Prover", "consistency_proof")
 
-    return Proofs(prover.steps, sp, consist, cap)
+    return Proofs(ivc_proof, consist, cap)
 
 
 # ---------------------------------------------------------------------------
@@ -319,11 +331,12 @@ def _run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
                   hybrid: bool = False, merkle: bool = False,
                   metrics=None) -> bool:
     from ..utils.metrics import Metrics
+    from . import ivc as IVC
     from .sumcheck import verifier_mle_eval
     mt = metrics or Metrics()
 
     mt.tic("Verifier", "setup")
-    tt, circuit, shape, wc, ec, mc = pub_setup(
+    tt, circuit, aug, shape, wc, ec, mc = pub_setup(
         safa, commit, batch_size, projections, hybrid, merkle, udoc=None)
     mt.stop("Verifier", "setup")
 
@@ -332,23 +345,15 @@ def _run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
     z0 = circuit.z0(salt, tt.table[0])
 
     mt.tic("Verifier", "snark_verification")
-    # 1. z chaining across step instances (x = z_in ++ z_out ++ [step])
-    prev_out = z0
-    for i, (comm_W, x, comm_T) in enumerate(proofs.steps):
-        if len(x) != 2 * arity + 1:
-            return False
-        z_in, z_out, step = x[:arity], x[arity:2 * arity], x[2 * arity]
-        if step != i:
-            return False
-        if z_in != [v % f.p for v in prev_out]:
-            return False
-        prev_out = z_out
-    zn = prev_out
-
-    # 2. fold chain + Spartan
-    U = verify_fold_chain(shape, ec, proofs.steps)
-    if not spartan_verify(shape, wc, ec, U, proofs.spartan):
+    # O(1) IVC verification: hash-chain checks (binding n, z0, zn and both
+    # running instances), one clear fold, two Spartan SNARKs.
+    if not isinstance(proofs.ivc, IVC.IVCProof):
         return False
+    if len(proofs.ivc.zn) != arity:
+        return False
+    if not IVC.verify(proofs.ivc, shape, wc, ec, z0):
+        return False
+    zn = [v % f.p for v in proofs.ivc.zn]
     mt.stop("Verifier", "snark_verification")
 
     # 3. zn layout checks (framework.rs:830-875)

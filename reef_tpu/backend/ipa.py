@@ -39,7 +39,8 @@ class IpaProof:
     rho_final: int
 
 
-def _absorb_setup(t: Transcript, C_w: Point, C_v: Point, R_pub: List[int]):
+def _absorb_setup(t: Transcript, C_w: Point, C_v: Point, R_pub: List[int],
+                  cv=cv):
     t.append_point(b"C_w", cv, C_w)
     t.append_point(b"C_v", cv, C_v)
     t.append(b"R", R_pub)
@@ -49,30 +50,60 @@ def _absorb_setup(t: Transcript, C_w: Point, C_v: Point, R_pub: List[int]):
 def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
               R_pub: List[int], v: int, r_v: int, C_w: Point, C_v: Point,
               t: Transcript) -> IpaProof:
-    p = f.p
-    n = len(w)
+    """Prover.  The folded basis is never materialized: after k rounds the
+    folded G'_i is a challenge-product combination of original points, so
+    each L/R is computed as one MSM over (half of) the ORIGINAL basis with
+    expanded scalars w[..]*coeff[j].  This replaces the 2n full scalar
+    multiplications of explicit basis folding with 2*log(n) Pippenger MSMs
+    (the round-1 IPA spent >70%% of prover time folding G)."""
+    cv = gens.cv
+    p = cv.order
+    n_orig = len(w)
+    n = n_orig
     assert n & (n - 1) == 0 and len(R_pub) == n
-    tau = _absorb_setup(t, C_w, C_v, R_pub)
+    tau = _absorb_setup(t, C_w, C_v, R_pub, cv)
 
-    G = list(gens.G[:n])
+    G_orig = gens.G[:n]
     H = gens.H
     w = [x % p for x in w]
     R = [x % p for x in R_pub]
     rho_p = (rho + tau * r_v) % p
+    coeff = [1] * n_orig          # G'_{j mod cur} accumulates coeff[j]*G[j]
 
     Ls, Rs = [], []
     while n > 1:
         half = n // 2
         w_lo, w_hi = w[:half], w[half:]
         R_lo, R_hi = R[:half], R[half:]
-        G_lo, G_hi = G[:half], G[half:]
         r_L = secrets.randbelow(p)
         r_R = secrets.randbelow(p)
         cL = sum(a * b for a, b in zip(w_lo, R_hi)) % p
         cR = sum(a * b for a, b in zip(w_hi, R_lo)) % p
-        L = cv.add(cv.add(cv.msm(w_lo, G_hi), cv.mul(tau * cL % p, G_s)),
+        # <w_lo, G'_hi> and <w_hi, G'_lo> over the original basis
+        sL, iL, sR, iR = [], [], [], []
+        for j in range(n_orig):
+            pos = j % n
+            if pos >= half:
+                s = w_lo[pos - half] * coeff[j] % p
+                if s:
+                    sL.append(s)
+                    iL.append(j)
+            else:
+                s = w_hi[pos] * coeff[j] % p
+                if s:
+                    sR.append(s)
+                    iR.append(j)
+        try:
+            from ..ec.native_msm import msm_packed
+            packed = gens.packed_G()
+            mL = msm_packed(cv, sL, packed, iL)
+            mR = msm_packed(cv, sR, packed, iR)
+        except RuntimeError:
+            mL = cv.msm(sL, [G_orig[j] for j in iL])
+            mR = cv.msm(sR, [G_orig[j] for j in iR])
+        L = cv.add(cv.add(mL, cv.mul(tau * cL % p, G_s)),
                    cv.mul(r_L, H))
-        Rp = cv.add(cv.add(cv.msm(w_hi, G_lo), cv.mul(tau * cR % p, G_s)),
+        Rp = cv.add(cv.add(mR, cv.mul(tau * cR % p, G_s)),
                     cv.mul(r_R, H))
         Ls.append(cv.compress(L))
         Rs.append(cv.compress(Rp))
@@ -82,12 +113,8 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
         xi = pow(x, -1, p)
         w = [(x * a + xi * b) % p for a, b in zip(w_lo, w_hi)]
         R = [(xi * a + x * b) % p for a, b in zip(R_lo, R_hi)]
-        try:
-            from ..ec.native_msm import fold_points_native
-            G = fold_points_native(cv, xi, x, G_lo, G_hi)
-        except RuntimeError:
-            G = [cv.add(cv.mul(xi, a), cv.mul(x, b))
-                 for a, b in zip(G_lo, G_hi)]
+        for j in range(n_orig):
+            coeff[j] = coeff[j] * (xi if (j % n) < half else x) % p
         rho_p = (x * x % p * r_L + rho_p + xi * xi % p * r_R) % p
         n = half
 
@@ -97,11 +124,12 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
 def ipa_verify(gens: PedersenGens, G_s: Point, R_pub: List[int],
                C_w: Point, C_v: Point, proof: IpaProof,
                t: Transcript) -> bool:
-    p = f.p
+    cv = gens.cv
+    p = cv.order
     n = len(R_pub)
     if n & (n - 1) or len(proof.Ls) != n.bit_length() - 1:
         return False
-    tau = _absorb_setup(t, C_w, C_v, R_pub)
+    tau = _absorb_setup(t, C_w, C_v, R_pub, cv)
 
     xs = []
     for Lc, Rc in zip(proof.Ls, proof.Rs):
@@ -109,17 +137,18 @@ def ipa_verify(gens: PedersenGens, G_s: Point, R_pub: List[int],
         t.append(b"R", list(Rc))
         xs.append(t.challenge(b"ipa_x", cv.order))
 
-    # folded basis coefficients: s_i = prod_k x_k^{(+-1 by bit)}
-    # round k splits on bit (log n - 1 - k) of the index; hi half gets x_k
-    logn = len(xs)
-    s = [1] * n
-    for i in range(n):
-        acc = 1
-        for k in range(logn):
-            bit = (i >> (logn - 1 - k)) & 1
-            acc = acc * (xs[k] if bit else pow(xs[k], -1, p)) % p
-        s[i] = acc
-    G_final = cv.msm(s, gens.G[:n])
+    # folded basis coefficients: s_i = prod_k x_k^(+-1 by bit); round k
+    # splits on bit (log n - 1 - k), hi half gets x_k.  Built by doubling
+    # (n muls + log n inversions, not n*log n inversions).
+    s = [1]
+    for x in xs:
+        xi = pow(x, -1, p)
+        s = [v * m % p for v in s for m in (xi, x)]
+    try:
+        from ..ec.native_msm import msm_packed
+        G_final = msm_packed(cv, s, gens.packed_G())
+    except RuntimeError:
+        G_final = cv.msm(s, gens.G[:n])
     # R folds with the same x^{-1}/x pattern as G: R_final = <s, R>
     R_final = sum(si * ri % p for si, ri in zip(s, R_pub)) % p
 

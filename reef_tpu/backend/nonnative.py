@@ -107,7 +107,7 @@ def nn_enforce_canonical(cs: ConstraintSystem, a: NNValue, M: int,
                        % cs_f)
             cs.assert_bool(c)
             cs.enforce_eq(s, lc_scale(c, 1 << LIMB_BITS))
-            carry_prev = lc_scale(c, -1)
+            carry_prev = c
         else:
             cs.enforce_zero(s)
 

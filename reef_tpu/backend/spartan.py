@@ -45,9 +45,10 @@ f = F.FQ
 cv = PALLAS
 
 
-def _lagrange(evals: List[int], r: int) -> int:
+def _lagrange(evals: List[int], r: int, p: int = None) -> int:
     """Evaluate the degree-(len-1) poly with values evals at 0..d, at r."""
-    p = f.p
+    if p is None:
+        p = f.p
     d = len(evals) - 1
     total = 0
     for i, yi in enumerate(evals):
@@ -61,14 +62,16 @@ def _lagrange(evals: List[int], r: int) -> int:
     return total
 
 
-def _fold_table(tab: List[int], r: int):
+def _fold_table(tab: List[int], r: int, p: int = None):
+    if p is None:
+        p = f.p
     half = len(tab) // 2
-    return [(tab[b] * (1 - r) + tab[b + half] * r) % f.p
+    return [(tab[b] * (1 - r) + tab[b + half] * r) % p
             for b in range(half)]
 
 
-def _eval_at(tab, b, half, t):
-    return (tab[b] + t * (tab[b + half] - tab[b])) % f.p
+def _eval_at(tab, b, half, t, p: int = None):
+    return (tab[b] + t * (tab[b + half] - tab[b])) % (p or f.p)
 
 
 @dataclass
@@ -84,19 +87,22 @@ class SpartanProof:
     eval_W: SigmaEvalProof
 
 
-def _absorb_instance(t: Transcript, shape: R1CSShape, U: RelaxedInstance):
+def _absorb_instance(t: Transcript, shape: R1CSShape, U: RelaxedInstance,
+                     cv=None):
     t.append(b"shape", shape.digest)
-    absorb_commit(t, b"W", U.comm_W)
-    absorb_commit(t, b"E", U.comm_E)
+    absorb_commit(t, b"W", U.comm_W, cv)
+    absorb_commit(t, b"E", U.comm_E, cv)
     t.append(b"u", U.u)
     t.append(b"x", U.x)
 
 
 def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
                   U: RelaxedInstance, Wit: RelaxedWitness) -> SpartanProof:
+    f = shape.f
+    cv = wc.cv
     p = f.p
     t = Transcript(b"spartan")
-    _absorb_instance(t, shape, U)
+    _absorb_instance(t, shape, U, cv)
 
     ell_m = ec.n_vars
     m = 1 << ell_m
@@ -108,47 +114,64 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     e = list(Wit.E) + [0] * (m - shape.n_cons)
 
     tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
-    eq_t = eq_evals(f, tau)
+
+    from ..ops import native_fieldvec as FV
+    native = FV.available()
 
     # ---- sumcheck 1 (degree 3 per round) ------------------------------
     sc1 = []
     rx: List[int] = []
     claim = 0
     u = U.u
-    for rnd in range(ell_m):
-        half = len(az) // 2
-        evals = []
-        for tv in range(4):
-            s = 0
-            for b in range(half):
-                eqv = _eval_at(eq_t, b, half, tv)
-                av = _eval_at(az, b, half, tv)
-                bv = _eval_at(bz, b, half, tv)
-                cvv = _eval_at(cz, b, half, tv)
-                ev = _eval_at(e, b, half, tv)
-                s += eqv * ((av * bv - u * cvv - ev) % p)
-            evals.append(s % p)
-        assert (evals[0] + evals[1]) % p == claim % p
-        t.append(b"sc1", evals)
-        r = t.challenge(b"sc1_r", p)
-        rx.append(r)
-        claim = _lagrange(evals, r)
-        sc1.append(evals)
-        eq_t = _fold_table(eq_t, r)
-        az = _fold_table(az, r)
-        bz = _fold_table(bz, r)
-        cz = _fold_table(cz, r)
-        e = _fold_table(e, r)
-
-    vA, vB, vC, vE = az[0], bz[0], cz[0], e[0]
+    if native:
+        eq_t = FV.eq_evals_mont(tau, p)
+        taz, tbz, tcz, te = (FV.MontTable(v, p) for v in (az, bz, cz, e))
+        for rnd in range(ell_m):
+            evals = FV.sc1_evals(eq_t, taz, tbz, tcz, te, u, p)
+            assert (evals[0] + evals[1]) % p == claim % p
+            t.append(b"sc1", evals)
+            r = t.challenge(b"sc1_r", p)
+            rx.append(r)
+            claim = _lagrange(evals, r, p)
+            sc1.append(evals)
+            for tab in (eq_t, taz, tbz, tcz, te):
+                tab.fold(r)
+        vA, vB, vC, vE = (tab.first() for tab in (taz, tbz, tcz, te))
+    else:
+        eq_t = eq_evals(f, tau)
+        for rnd in range(ell_m):
+            half = len(az) // 2
+            evals = []
+            for tv in range(4):
+                s = 0
+                for b in range(half):
+                    eqv = _eval_at(eq_t, b, half, tv, p)
+                    av = _eval_at(az, b, half, tv, p)
+                    bv = _eval_at(bz, b, half, tv, p)
+                    cvv = _eval_at(cz, b, half, tv, p)
+                    ev = _eval_at(e, b, half, tv, p)
+                    s += eqv * ((av * bv - u * cvv - ev) % p)
+                evals.append(s % p)
+            assert (evals[0] + evals[1]) % p == claim % p
+            t.append(b"sc1", evals)
+            r = t.challenge(b"sc1_r", p)
+            rx.append(r)
+            claim = _lagrange(evals, r, p)
+            sc1.append(evals)
+            eq_t = _fold_table(eq_t, r, p)
+            az = _fold_table(az, r, p)
+            bz = _fold_table(bz, r, p)
+            cz = _fold_table(cz, r, p)
+            e = _fold_table(e, r, p)
+        vA, vB, vC, vE = az[0], bz[0], cz[0], e[0]
     t.append(b"claims", [vA, vB, vC, vE])
 
     # eval proof for E at rx: direct log-round IPA against the single-point
     # commitment (R = full eq vector at rx)
     e_pad = list(Wit.E) + [0] * (ec.n - shape.n_cons)
-    G_s = shared_scalar_gens().G[0]
+    G_s = shared_scalar_gens(cv).G[0]
     R_E = eq_evals(f, rx)
-    C_vE = shared_scalar_gens().commit([vE], 0)
+    C_vE = shared_scalar_gens(cv).commit([vE], 0)
     eval_E = ipa_prove(ec.gens, G_s, e_pad, Wit.E_blind, R_E, vE, 0,
                        U.comm_E, C_vE, Transcript(b"spartan_E"))
 
@@ -156,40 +179,62 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     rr = t.challenge(b"rr", p)
     ell_z = wc.n_vars + 1
     nz = 1 << ell_z
-    eq_rx = eq_evals(f, rx)
-    mtab = [0] * nz
-    for coeff, M in ((1, shape.A), (rr, shape.B), (rr * rr % p, shape.C)):
-        for (i, j, v) in M:
-            mtab[j] = (mtab[j] + coeff * v % p * eq_rx[i]) % p
-    ztab = z + [0] * (nz - len(z))
-
     claim2 = (vA + rr * vB + rr * rr % p * vC) % p
     sc2 = []
     ry: List[int] = []
-    for rnd in range(ell_z):
-        half = len(ztab) // 2
-        evals = []
-        for tv in range(3):
-            s = 0
-            for b in range(half):
-                s += _eval_at(mtab, b, half, tv) * _eval_at(ztab, b, half, tv)
-            evals.append(s % p)
-        assert (evals[0] + evals[1]) % p == claim2 % p
-        t.append(b"sc2", evals)
-        r = t.challenge(b"sc2_r", p)
-        ry.append(r)
-        claim2 = _lagrange(evals, r)
-        sc2.append(evals)
-        mtab = _fold_table(mtab, r)
-        ztab = _fold_table(ztab, r)
+    if native:
+        mats = FV.shape_mats(shape)
+        eq_rx_m = FV.eq_evals_mont(rx, p)
+        mtab_m = FV.MontTable([0] * nz, p)
+        for coeff, mat in ((1, mats[0]), (rr, mats[1]),
+                           (rr * rr % p, mats[2])):
+            mat.mtab_accum(mtab_m.buf, eq_rx_m.buf, coeff)
+        ztab_m = FV.MontTable(z + [0] * (nz - len(z)), p)
+        for rnd in range(ell_z):
+            evals = FV.sc2_evals(mtab_m, ztab_m, p)
+            assert (evals[0] + evals[1]) % p == claim2 % p
+            t.append(b"sc2", evals)
+            r = t.challenge(b"sc2_r", p)
+            ry.append(r)
+            claim2 = _lagrange(evals, r, p)
+            sc2.append(evals)
+            mtab_m.fold(r)
+            ztab_m.fold(r)
+    else:
+        eq_rx = eq_evals(f, rx)
+        mtab = [0] * nz
+        for coeff, M in ((1, shape.A), (rr, shape.B),
+                         (rr * rr % p, shape.C)):
+            for (i, j, v) in M:
+                mtab[j] = (mtab[j] + coeff * v % p * eq_rx[i]) % p
+        ztab = z + [0] * (nz - len(z))
+        for rnd in range(ell_z):
+            half = len(ztab) // 2
+            evals = []
+            for tv in range(3):
+                s = 0
+                for b in range(half):
+                    s += _eval_at(mtab, b, half, tv, p) * _eval_at(ztab, b, half, tv, p)
+                evals.append(s % p)
+            assert (evals[0] + evals[1]) % p == claim2 % p
+            t.append(b"sc2", evals)
+            r = t.challenge(b"sc2_r", p)
+            ry.append(r)
+            claim2 = _lagrange(evals, r, p)
+            sc2.append(evals)
+            mtab = _fold_table(mtab, r, p)
+            ztab = _fold_table(ztab, r, p)
 
     # W eval at ry[1:]
     w_pad = list(Wit.W) + [0] * (wc.n - len(Wit.W))
-    from .sumcheck import verifier_mle_eval
-    vW = verifier_mle_eval(f, w_pad, ry[1:])
+    if native:
+        vW = FV.dot(w_pad, FV.eq_evals_native(ry[1:], p), p)
+    else:
+        from .sumcheck import verifier_mle_eval
+        vW = verifier_mle_eval(f, w_pad, ry[1:])
     t.append(b"vW", vW)
     R_W = eq_evals(f, ry[1:])
-    C_vW = shared_scalar_gens().commit([vW], 0)
+    C_vW = shared_scalar_gens(cv).commit([vW], 0)
     eval_W = ipa_prove(wc.gens, G_s, w_pad, Wit.W_blind, R_W, vW, 0,
                        U.comm_W, C_vW, Transcript(b"spartan_W"))
 
@@ -199,9 +244,11 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
 def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
                    ec: VectorCommitter, U: RelaxedInstance,
                    proof: SpartanProof) -> bool:
+    f = shape.f
+    cv = wc.cv
     p = f.p
     t = Transcript(b"spartan")
-    _absorb_instance(t, shape, U)
+    _absorb_instance(t, shape, U, cv)
 
     ell_m = ec.n_vars
     tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
@@ -214,7 +261,7 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
         t.append(b"sc1", evals)
         r = t.challenge(b"sc1_r", p)
         rx.append(r)
-        claim = _lagrange(evals, r)
+        claim = _lagrange(evals, r, p)
     if len(rx) != ell_m:
         return False
 
@@ -228,8 +275,8 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     t.append(b"claims", [vA, vB, vC, vE])
 
     # E eval proof
-    G_s = shared_scalar_gens().G[0]
-    vE_commit = shared_scalar_gens().commit([vE], 0)
+    G_s = shared_scalar_gens(cv).G[0]
+    vE_commit = shared_scalar_gens(cv).commit([vE], 0)
     if not ipa_verify(ec.gens, G_s, eq_evals(f, rx), U.comm_E, vE_commit,
                       proof.eval_E, Transcript(b"spartan_E")):
         return False
@@ -244,17 +291,28 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
         t.append(b"sc2", evals)
         r = t.challenge(b"sc2_r", p)
         ry.append(r)
-        claim2 = _lagrange(evals, r)
+        claim2 = _lagrange(evals, r, p)
     if len(ry) != ell_z:
         return False
 
     # sparse matrix evals at (rx, ry) -- verifier-side O(nnz)
-    eq_rx = eq_evals(f, rx)
-    eq_ry = eq_evals(f, ry)
-    vM = 0
-    for coeff, M in ((1, shape.A), (rr, shape.B), (rr * rr % p, shape.C)):
-        for (i, j, v) in M:
-            vM = (vM + coeff * v % p * eq_rx[i] % p * eq_ry[j]) % p
+    from ..ops import native_fieldvec as FV
+    if FV.available():
+        mats = FV.shape_mats(shape)
+        eq_rx_m = FV.eq_evals_mont(rx, p)
+        eq_ry_m = FV.eq_evals_mont(ry, p)
+        vM = 0
+        for coeff, mat in ((1, mats[0]), (rr, mats[1]),
+                           (rr * rr % p, mats[2])):
+            vM = (vM + coeff * FV.bilinear(mat, eq_rx_m, eq_ry_m)) % p
+    else:
+        eq_rx = eq_evals(f, rx)
+        eq_ry = eq_evals(f, ry)
+        vM = 0
+        for coeff, M in ((1, shape.A), (rr, shape.B),
+                         (rr * rr % p, shape.C)):
+            for (i, j, v) in M:
+                vM = (vM + coeff * v % p * eq_rx[i] % p * eq_ry[j]) % p
 
     # public half of z
     pub = [U.u % p] + [x % p for x in U.x]
@@ -266,6 +324,6 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
         return False
 
     t.append(b"vW", proof.vW)
-    vW_commit = shared_scalar_gens().commit([proof.vW], 0)
+    vW_commit = shared_scalar_gens(cv).commit([proof.vW], 0)
     return ipa_verify(wc.gens, G_s, eq_evals(f, ry[1:]), U.comm_W,
                       vW_commit, proof.eval_W, Transcript(b"spartan_W"))

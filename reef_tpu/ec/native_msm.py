@@ -34,6 +34,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.pasta_msm.restype = None
+        lib.pasta_msm_idx.restype = None
+        lib.pasta_msm_idx.argtypes = [ctypes.c_int, ctypes.c_int64,
+                                      ctypes.c_char_p, ctypes.c_char_p,
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.c_char_p]
         lib.pasta_fold_points.restype = None
         _LIB = lib
     except Exception:
@@ -83,6 +88,42 @@ def fold_points_native(curve, xi: int, x: int, lo, hi):
         (ctypes.c_char * len(lo_b)).from_buffer(lo_b),
         (ctypes.c_char * len(hi_b)).from_buffer(hi_b), out)
     return _unpack_points(bytearray(out.raw), n)
+
+
+def pack_points(points) -> bytes:
+    """Pack points once for repeated indexed MSMs (cache at the caller)."""
+    return bytes(_pack_points(points))
+
+
+def msm_packed(curve, scalars: List[int], packed: bytes,
+               indices: Optional[List[int]] = None) -> Optional[tuple]:
+    """MSM over a pre-packed point buffer, optionally gathering via an
+    index array — avoids repacking a fixed basis on every call (the IPA
+    prover calls 2*log(n) MSMs against subsets of the same gens)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native msm unavailable")
+    from .pasta import PALLAS
+    curve_id = 0 if curve is PALLAS else 1
+    n = len(scalars)
+    if n == 0:
+        return None
+    sbuf = bytearray(32 * n)
+    for i, s in enumerate(scalars):
+        sbuf[32 * i:32 * (i + 1)] = (s % curve.order).to_bytes(32, "little")
+    idx = (ctypes.c_int64 * n)(*indices) if indices is not None else None
+    out_buf = ctypes.create_string_buffer(96)
+    lib.pasta_msm_idx(ctypes.c_int(curve_id), ctypes.c_int64(n),
+                      (ctypes.c_char * len(sbuf)).from_buffer(sbuf),
+                      packed, idx, out_buf)
+    X = int.from_bytes(out_buf.raw[0:32], "little")
+    Y = int.from_bytes(out_buf.raw[32:64], "little")
+    Z = int.from_bytes(out_buf.raw[64:96], "little")
+    if Z == 0:
+        return None
+    p = curve.p
+    zi = pow(Z, p - 2, p)
+    return (X * zi % p, Y * zi % p)
 
 
 def msm_native(curve, scalars: List[int], points) -> Optional[tuple]:

@@ -122,12 +122,11 @@ class Curve:
         n = len(scalars)
         if n == 0:
             return None
-        if n >= 8:
-            try:
-                from .native_msm import msm_native
-                return msm_native(self, scalars, points)
-            except RuntimeError:
-                pass
+        try:
+            from .native_msm import msm_native
+            return msm_native(self, scalars, points)
+        except RuntimeError:
+            pass
         return self._msm_py(scalars, points)
 
     def _msm_py(self, scalars: List[int], points: List[Point]) -> Point:

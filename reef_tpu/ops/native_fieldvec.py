@@ -1,0 +1,264 @@
+"""ctypes bridge to native/fieldvec.cpp: the prover's host hot loops.
+
+Covers the exact loops the reference runs under rug/GMP + rayon
+(r1cs_helper.rs:441-506 and nova's folding): sparse matvec, Nova cross
+terms, vector folds, Spartan sumcheck round evaluations, eq-table builds.
+Every entry point has a pure-python fallback at the call sites, so the
+toolchain is optional.
+
+Conventions: field elements cross the boundary as 32-byte little-endian;
+`field` is 0 for P (pallas base / vesta scalar) and 1 for Q.  Montgomery-
+domain buffers ("_m") stay opaque to python and are cached across calls
+(per-shape constants, sumcheck tables across rounds).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+from . import field as F
+
+FIELD_ID = {F.P: 0, F.Q: 1}
+
+_LIB = None
+_BUILD_FAILED = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _BUILD_FAILED
+    if _LIB is not None or _BUILD_FAILED:
+        return _LIB
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    src = os.path.join(root, "native", "fieldvec.cpp")
+    so = os.path.join(root, "native", "libfieldvec.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                 "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        B = ctypes.c_char_p          # accepts bytes / string buffers
+        Buf = ctypes.c_void_p        # mutable buffers
+        I64 = ctypes.c_int64
+        IP = ctypes.POINTER(ctypes.c_int64)
+        C = ctypes.c_int
+        lib.fv_to_mont.argtypes = [Buf, B, I64, C]
+        lib.fv_from_mont.argtypes = [Buf, Buf, I64, C]
+        lib.fv_fold.argtypes = [Buf, B, B, B, I64, C]
+        lib.fv_matvec.argtypes = [Buf, IP, IP, B, I64, B, I64, I64, C]
+        lib.fv_cross.argtypes = [Buf, B, B, B, B, B, B, B, I64, C]
+        lib.fv_sc1_evals.argtypes = [Buf, Buf, Buf, Buf, Buf, Buf, B,
+                                     I64, C]
+        lib.fv_sc2_evals.argtypes = [Buf, Buf, Buf, I64, C]
+        lib.fv_fold_mont.argtypes = [Buf, B, I64, C]
+        lib.fv_eq_evals.argtypes = [Buf, B, I64, C]
+        lib.fv_mtab.argtypes = [Buf, IP, IP, B, I64, Buf, B, C]
+        lib.fv_bilinear.argtypes = [Buf, IP, IP, B, I64, Buf, Buf, C]
+        lib.fv_dot.argtypes = [Buf, B, B, I64, C]
+        for fn in ("fv_to_mont", "fv_from_mont", "fv_fold", "fv_matvec",
+                   "fv_cross", "fv_sc1_evals", "fv_sc2_evals",
+                   "fv_fold_mont", "fv_eq_evals", "fv_mtab",
+                   "fv_bilinear", "fv_dot"):
+            getattr(lib, fn).restype = None
+        _LIB = lib
+    except Exception:
+        _BUILD_FAILED = True
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+def pack(vals: Sequence[int], p: int) -> bytes:
+    return b"".join((v % p).to_bytes(32, "little") for v in vals)
+
+
+def unpack(buf, n: int) -> List[int]:
+    mv = bytes(buf)
+    return [int.from_bytes(mv[32 * i:32 * i + 32], "little")
+            for i in range(n)]
+
+
+def _c_i64(arr: Sequence[int]):
+    return (ctypes.c_int64 * len(arr))(*arr)
+
+
+def to_mont(vals: Sequence[int], p: int) -> bytes:
+    lib = _load()
+    fid = FIELD_ID[p]
+    buf = pack(vals, p)
+    out = ctypes.create_string_buffer(len(buf))
+    lib.fv_to_mont(out, buf, len(vals), fid)
+    return out.raw
+
+
+# ---------------------------------------------------------------------------
+# vector ops (int lists in / out)
+# ---------------------------------------------------------------------------
+
+def fold_vec(a: Sequence[int], b: Sequence[int], r: int, p: int
+             ) -> List[int]:
+    """a + r*b elementwise."""
+    lib = _load()
+    n = len(a)
+    fid = FIELD_ID[p]
+    ab = pack(a, p)
+    bb = pack(b, p)
+    rb = pack([r], p)
+    out = ctypes.create_string_buffer(32 * n)
+    lib.fv_fold(out, ab, bb, rb, n, fid)
+    return unpack(out.raw, n)
+
+
+def cross_term(az1, bz1, cz1, az2, bz2, cz2, u1: int, p: int) -> List[int]:
+    lib = _load()
+    n = len(az1)
+    fid = FIELD_ID[p]
+    bufs = [pack(v, p) for v in (az1, bz1, cz1, az2, bz2, cz2)]
+    ub = pack([u1], p)
+    out = ctypes.create_string_buffer(32 * n)
+    lib.fv_cross(out, *bufs, ub, n, fid)
+    return unpack(out.raw, n)
+
+
+class SparseMat:
+    """COO matrix with cached Montgomery-domain values + index arrays."""
+
+    def __init__(self, coo: Sequence[Tuple[int, int, int]], p: int):
+        self.p = p
+        self.fid = FIELD_ID[p]
+        self.nnz = len(coo)
+        self.rows = _c_i64([t[0] for t in coo])
+        self.cols = _c_i64([t[1] for t in coo])
+        self.vals_m = to_mont([t[2] for t in coo], p)
+        self.max_col = max((t[1] for t in coo), default=0)
+
+    def matvec(self, z: Sequence[int], n_out: int) -> List[int]:
+        lib = _load()
+        zb = pack(z, self.p)
+        out = ctypes.create_string_buffer(32 * n_out)
+        lib.fv_matvec(out, self.rows, self.cols, self.vals_m, self.nnz,
+                      zb, len(z), n_out, self.fid)
+        return unpack(out.raw, n_out)
+
+    def mtab_accum(self, mtab_m: ctypes.Array, eq_rx_m: bytes, coeff: int):
+        """mtab[col] += coeff * val * eq_rx[row]  (Montgomery in-place)."""
+        lib = _load()
+        cb = pack([coeff], self.p)
+        lib.fv_mtab(mtab_m, self.rows, self.cols, self.vals_m, self.nnz,
+                    eq_rx_m, cb, self.fid)
+
+
+def shape_mats(shape) -> Optional[Tuple[SparseMat, SparseMat, SparseMat]]:
+    """Per-R1CSShape cached native matrices (None if no toolchain)."""
+    if not available():
+        return None
+    cached = getattr(shape, "_fv_mats", None)
+    if cached is None:
+        p = shape.f.p
+        cached = (SparseMat(shape.A, p), SparseMat(shape.B, p),
+                  SparseMat(shape.C, p))
+        shape._fv_mats = cached
+    return cached
+
+
+# ---------------------------------------------------------------------------
+# sumcheck tables (opaque Montgomery buffers across rounds)
+# ---------------------------------------------------------------------------
+
+class MontTable:
+    def __init__(self, vals: Sequence[int], p: int, _raw: bytes = None):
+        self.p = p
+        self.fid = FIELD_ID[p]
+        if _raw is not None:
+            self.buf = ctypes.create_string_buffer(_raw, len(_raw))
+            self.n = len(_raw) // 32
+        else:
+            raw = to_mont(vals, p)
+            self.buf = ctypes.create_string_buffer(raw, len(raw))
+            self.n = len(vals)
+
+    def fold(self, r: int):
+        lib = _load()
+        half = self.n // 2
+        rb = pack([r], self.p)
+        lib.fv_fold_mont(self.buf, rb, half, self.fid)
+        self.n = half
+
+    def first(self) -> int:
+        lib = _load()
+        out = ctypes.create_string_buffer(32)
+        lib.fv_from_mont(out, self.buf, 1, self.fid)
+        return int.from_bytes(out.raw, "little")
+
+
+def sc1_evals(eq: MontTable, az: MontTable, bz: MontTable, cz: MontTable,
+              e: MontTable, u: int, p: int) -> List[int]:
+    lib = _load()
+    half = eq.n // 2
+    um = to_mont([u], p)
+    out = ctypes.create_string_buffer(32 * 4)
+    lib.fv_sc1_evals(out, eq.buf, az.buf, bz.buf, cz.buf, e.buf, um,
+                     half, FIELD_ID[p])
+    return unpack(out.raw, 4)
+
+
+def sc2_evals(m: MontTable, zt: MontTable, p: int) -> List[int]:
+    lib = _load()
+    half = m.n // 2
+    out = ctypes.create_string_buffer(32 * 3)
+    lib.fv_sc2_evals(out, m.buf, zt.buf, half, FIELD_ID[p])
+    return unpack(out.raw, 3)
+
+
+def eq_evals_mont(point: Sequence[int], p: int) -> MontTable:
+    """eq table at `point` (MSB-first), returned as a Montgomery table."""
+    lib = _load()
+    l = len(point)
+    pb = pack(point, p)
+    out = ctypes.create_string_buffer(32 * (1 << l))
+    lib.fv_eq_evals(out, pb, l, FIELD_ID[p])
+    t = MontTable.__new__(MontTable)
+    t.p = p
+    t.fid = FIELD_ID[p]
+    t.buf = out
+    t.n = 1 << l
+    return t
+
+
+def eq_evals_native(point: Sequence[int], p: int) -> List[int]:
+    lib = _load()
+    t = eq_evals_mont(point, p)
+    out = ctypes.create_string_buffer(32 * t.n)
+    lib.fv_from_mont(out, t.buf, t.n, FIELD_ID[p])
+    return unpack(out.raw, t.n)
+
+
+def bilinear(mat: SparseMat, eq_rx_m: "MontTable", eq_ry_m: "MontTable"
+             ) -> int:
+    """sum over the matrix of val * eq_rx[row] * eq_ry[col]."""
+    lib = _load()
+    out = ctypes.create_string_buffer(32)
+    lib.fv_bilinear(out, mat.rows, mat.cols, mat.vals_m, mat.nnz,
+                    eq_rx_m.buf, eq_ry_m.buf, mat.fid)
+    return int.from_bytes(out.raw, "little")
+
+
+def dot(a: Sequence[int], b: Sequence[int], p: int) -> int:
+    lib = _load()
+    ab = pack(a, p)
+    bb = pack(b, p)
+    out = ctypes.create_string_buffer(32)
+    lib.fv_dot(out, ab, bb, len(a), FIELD_ID[p])
+    return int.from_bytes(out.raw, "little")

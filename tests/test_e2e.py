@@ -64,11 +64,9 @@ def test_e2e_tampered_proof_rejected():
     codes = [ord(c) for c in "baa"]
     commit, dc_secret = FW.run_committer(codes, safa.ab, False, seed=8)
     proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2)
-    # tamper: claim a different exit state in the last step's public io
-    cw, x, ct = proofs.steps[-1]
-    x2 = list(x)
-    x2[len(x) // 2] = (x2[len(x) // 2] + 1) % f.p
-    proofs.steps[-1] = (cw, x2, ct)
+    # tamper: claim a different exit state in zn (hash-chain must reject)
+    proofs.ivc.zn = list(proofs.ivc.zn)
+    proofs.ivc.zn[0] = (proofs.ivc.zn[0] + 1) % f.p
     assert not FW.run_verifier(commit, safa, proofs, batch_size=2)
 
 
