@@ -335,6 +335,42 @@ void fv_sc2_evals(uint8_t* out, const uint8_t* m, const uint8_t* zt,
   }
 }
 
+// nlookup sumcheck round coefficients (r1cs_helper.rs:441-506's hot loop):
+//   xsq = sum ts*es, x = sum es*t0 + ts*e0, con = sum t0*e0
+// with ts = t1-t0, es = e1-e0 over the top-bit split.  Tables Montgomery;
+// out = [xsq, x, con] standard.
+void fv_nl_round(uint8_t* out, const uint8_t* t_tab, const uint8_t* eq_tab,
+                 i64 half, int field) {
+  const Field& f = F(field);
+  Fe xsq, x, con;
+  memset(xsq.v, 0, 32);
+  memset(x.v, 0, 32);
+  memset(con.v, 0, 32);
+  for (i64 b = 0; b < half; b++) {
+    Fe t0, t1, e0, e1, ts, es, tmp;
+    load(t0, t_tab + 32 * b);
+    load(t1, t_tab + 32 * (b + half));
+    load(e0, eq_tab + 32 * b);
+    load(e1, eq_tab + 32 * (b + half));
+    f.sub(ts, t1, t0);
+    f.sub(es, e1, e0);
+    f.mul(tmp, ts, es);
+    f.add(xsq, xsq, tmp);
+    f.mul(tmp, es, t0);
+    f.add(x, x, tmp);
+    f.mul(tmp, ts, e0);
+    f.add(x, x, tmp);
+    f.mul(tmp, t0, e0);
+    f.add(con, con, tmp);
+  }
+  f.from_mont(xsq, xsq);
+  f.from_mont(x, x);
+  f.from_mont(con, con);
+  store(out, xsq);
+  store(out + 32, x);
+  store(out + 64, con);
+}
+
 // in-place Montgomery-domain table fold: tab[b] += r*(tab[b+half]-tab[b])
 void fv_fold_mont(uint8_t* tab, const uint8_t* r, i64 half, int field) {
   const Field& f = F(field);

@@ -142,6 +142,11 @@ def prover_mle_partial_eval(f: F.HostField, prods: List[int], x: List[int],
 
 def verifier_mle_eval(f: F.HostField, table: List[int], q: List[int]) -> int:
     """Full MLE evaluation of the table at point q (MSB-first)."""
+    if len(table) >= 64:
+        from ..ops import native_fieldvec as FV
+        if FV.available() and f.p in FV.FIELD_ID:
+            eq = FV.eq_evals_native(q, f.p)
+            return FV.dot(table, eq[:len(table)], f.p)
     _, con = prover_mle_partial_eval(f, table, q, list(range(len(table))),
                                      True, None)
     return con
@@ -243,6 +248,37 @@ def nlookup_prove(f: F.HostField, table: List[int], qs: List[int],
         return NlookupProof(claim_r=claim_r, sc_rs=sc_rs, g_coeffs=g_coeffs,
                             last_claim=last_claim, next_running_q=list(sc_rs),
                             next_running_v=next_running_v, combined_qs=cqs)
+
+    # native host path: eq-table build + per-round coefficient sums + folds
+    # in C (the round-1 python loops dominated prove time on large docs);
+    # the Fiat-Shamir sponge stays on the host between rounds.
+    from ..ops import native_fieldvec as FV
+    if FV.available() and p in FV.FIELD_ID and len(table) >= 32:
+        eq_base = FV.eq_evals_native(prev_q, p)
+        r_run = rs[num_vs]
+        eq_list = [r_run * e % p for e in eq_base]
+        for i, qi in enumerate(qs):
+            eq_list[qi] = (eq_list[qi] + rs[i]) % p
+        sct = [t % p for t in table]
+        sct.extend([0] * ((1 << sc_l) - len(sct)))
+        t_m = FV.MontTable(sct, p)
+        e_m = FV.MontTable(eq_list, p)
+        sc_rs = []
+        g_coeffs = []
+        for _ in range(sc_l):
+            g_xsq, g_x, g_const = FV.nl_round(t_m, e_m, p)
+            sponge.absorb([g_const, g_x, g_xsq])
+            r_i = sponge.squeeze(1)[0]
+            g_coeffs.append((g_xsq, g_x, g_const))
+            sc_rs.append(r_i)
+            t_m.fold(r_i)
+            e_m.fold(r_i)
+        last_claim = (g_xsq * sc_rs[-1] % p * sc_rs[-1] + g_x * sc_rs[-1]
+                      + g_const) % p
+        return NlookupProof(claim_r=claim_r, sc_rs=sc_rs,
+                            g_coeffs=g_coeffs, last_claim=last_claim,
+                            next_running_q=list(sc_rs),
+                            next_running_v=t_m.first(), combined_qs=cqs)
 
     eq_table = gen_eq_table(f, rs, qs, prev_q)
     # pad sc table to the power of two (doc tables may be shorter)

@@ -56,13 +56,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fv_sc1_evals.argtypes = [Buf, Buf, Buf, Buf, Buf, Buf, B,
                                      I64, C]
         lib.fv_sc2_evals.argtypes = [Buf, Buf, Buf, I64, C]
+        lib.fv_nl_round.argtypes = [Buf, Buf, Buf, I64, C]
         lib.fv_fold_mont.argtypes = [Buf, B, I64, C]
         lib.fv_eq_evals.argtypes = [Buf, B, I64, C]
         lib.fv_mtab.argtypes = [Buf, IP, IP, B, I64, Buf, B, C]
         lib.fv_bilinear.argtypes = [Buf, IP, IP, B, I64, Buf, Buf, C]
         lib.fv_dot.argtypes = [Buf, B, B, I64, C]
         for fn in ("fv_to_mont", "fv_from_mont", "fv_fold", "fv_matvec",
-                   "fv_cross", "fv_sc1_evals", "fv_sc2_evals",
+                   "fv_cross", "fv_sc1_evals", "fv_sc2_evals", "fv_nl_round",
                    "fv_fold_mont", "fv_eq_evals", "fv_mtab",
                    "fv_bilinear", "fv_dot"):
             getattr(lib, fn).restype = None
@@ -212,6 +213,15 @@ def sc1_evals(eq: MontTable, az: MontTable, bz: MontTable, cz: MontTable,
     lib.fv_sc1_evals(out, eq.buf, az.buf, bz.buf, cz.buf, e.buf, um,
                      half, FIELD_ID[p])
     return unpack(out.raw, 4)
+
+
+def nl_round(t: MontTable, eq: MontTable, p: int) -> List[int]:
+    """(xsq, x, con) coefficients of one nlookup sumcheck round."""
+    lib = _load()
+    half = t.n // 2
+    out = ctypes.create_string_buffer(32 * 3)
+    lib.fv_nl_round(out, t.buf, eq.buf, half, FIELD_ID[p])
+    return unpack(out.raw, 3)
 
 
 def sc2_evals(m: MontTable, zt: MontTable, p: int) -> List[int]:
