@@ -11,7 +11,9 @@
 // Exposed via a C ABI for ctypes; runs the search on a dedicated thread with
 // a large stack (deep char chains recurse O(doc)).
 
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <pthread.h>
 #include <unordered_set>
@@ -144,6 +146,78 @@ void* run_job(void* p) {
   return nullptr;
 }
 
+// ---------------------------------------------------------------------------
+// Deterministic speculative parallelism (the reference parallelizes the
+// exists-edge / skip-offset scan with rayon's find_map_any,
+// safa.rs:377-382; find_map_any returns an arbitrary success).  Here the
+// root node's (edge, offset) candidates are explored by a worker pool, but
+// the SELECTED solution is the lowest-index successful candidate — i.e.
+// exactly the one the sequential solver would return, keeping the trace
+// bit-identical to the Python oracle while failures (the expensive part of
+// adversarial backtracking workloads) burn in parallel.
+// ---------------------------------------------------------------------------
+
+struct Candidate {
+  int32_t eidx;
+  int64_t off;     // cursor advance (chars: 1)
+};
+
+struct ParShared {
+  const Graph* g;
+  const std::vector<Candidate>* cands;
+  std::atomic<int64_t> next;
+  std::atomic<int64_t> best;              // lowest successful index
+  std::vector<int> status;                // 0 unexplored, 1 ok, 2 fail
+  std::vector<std::vector<TraceElem>> results;
+};
+
+void* par_worker(void* p) {
+  ParShared* sh = (ParShared*)p;
+  Solver s;                                // thread-local memo
+  s.g = sh->g;
+  const Graph& g = *sh->g;
+  int64_t n = (int64_t)sh->cands->size();
+  while (true) {
+    int64_t i = sh->next.fetch_add(1);
+    if (i >= n || i > sh->best.load()) break;
+    const Candidate& c = (*sh->cands)[i];
+    const Edge& e = g.edges[c.eidx];
+    std::vector<TraceElem> acc;
+    acc.push_back({0, c.eidx, e.dst, 0, c.off});
+    bool ok = s.solve_rec(e.dst, c.off, acc);
+    if (ok) {
+      sh->results[i] = std::move(acc);
+      sh->status[i] = 1;
+      int64_t cur = sh->best.load();
+      while (i < cur && !sh->best.compare_exchange_weak(cur, i)) {
+      }
+    } else {
+      sh->status[i] = 2;
+    }
+  }
+  return nullptr;
+}
+
+bool root_candidates(const Graph& g, std::vector<Candidate>& out) {
+  if (g.is_and[0] || g.doc_len == 0) return false;
+  for (int32_t e = g.edge_start[0]; e < g.edge_start[1]; e++) {
+    const Edge& ed = g.edges[e];
+    if (ed.self_nil) continue;
+    if (ed.kind == 0) {
+      if (g.sink != ed.dst && g.doc_len > 0 && g.doc[0] == ed.chr)
+        out.push_back({e, 1});
+    } else {
+      for (int32_t r = ed.range_lo; r < ed.range_hi; r++) {
+        int64_t lo = g.r_start[r];
+        int64_t hi = g.r_end[r] < 0 ? g.doc_len : g.r_end[r];
+        if (hi > g.doc_len) hi = g.doc_len;
+        for (int64_t off = lo; off <= hi; off++) out.push_back({e, off});
+      }
+    }
+  }
+  return out.size() >= 2;
+}
+
 }  // namespace
 
 extern "C" {
@@ -174,9 +248,36 @@ int64_t safa_solve(int32_t n_nodes, const uint8_t* is_and,
   pthread_attr_t attr;
   pthread_attr_init(&attr);
   pthread_attr_setstacksize(&attr, (size_t)1 << 30);  // 1 GiB: deep chains
-  pthread_t th;
-  pthread_create(&th, &attr, run_job, &job);
-  pthread_join(th, nullptr);
+
+  int n_threads = 4;
+  if (const char* t = getenv("REEF_SOLVER_THREADS")) n_threads = atoi(t);
+  std::vector<Candidate> cands;
+  if (n_threads > 1 && root_candidates(job.g, cands)) {
+    ParShared sh;
+    sh.g = &job.g;
+    sh.cands = &cands;
+    sh.next.store(0);
+    sh.best.store((int64_t)cands.size());
+    sh.status.assign(cands.size(), 0);
+    sh.results.resize(cands.size());
+    if ((size_t)n_threads > cands.size()) n_threads = (int)cands.size();
+    std::vector<pthread_t> ths(n_threads);
+    for (int t = 0; t < n_threads; t++)
+      pthread_create(&ths[t], &attr, par_worker, &sh);
+    for (int t = 0; t < n_threads; t++) pthread_join(ths[t], nullptr);
+    for (size_t i = 0; i < cands.size(); i++) {
+      if (sh.status[i] == 1) {
+        job.result = std::move(sh.results[i]);
+        job.ok = 1;
+        break;
+      }
+      if (sh.status[i] == 0) break;  // unexplored => no earlier success
+    }
+  } else {
+    pthread_t th;
+    pthread_create(&th, &attr, run_job, &job);
+    pthread_join(th, nullptr);
+  }
   pthread_attr_destroy(&attr);
 
   if (!job.ok) return -1;
