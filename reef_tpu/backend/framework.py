@@ -200,13 +200,37 @@ def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
             assert mc.commitment == commit.merkle_root
         else:
             mc = _VerifierMerkle(commit.merkle_root, commit.udoc_len)
-    circuit = StepCircuit(tt, commit.doc_commit_hash(),
-                          merkle_commitment=mc)
-    aug = AugmentedPrimary(circuit)
-    shape = R1CSShape(aug.compiled, aug.io_names)
-    wc = VectorCommitter(b"reef_w", shape.w_pad)
-    ec = VectorCommitter(b"reef_e", shape.n_cons)
+    # the circuit stack is deterministic in the table's structural
+    # parameters + the baked-in commitment constants: cache it so a
+    # prover+verifier pair (or a test suite) builds it once
+    key = (tt.num_states, tt.num_chars, tt.max_offsets, len(tt.table),
+           tuple(tt.table[:2]), tt.doc_len(), tt.hybrid_len,
+           tt.batch_size, tt.max_stack, tt.max_branches, tt.kid_padding,
+           tt.eps_code, tt.eof_code, tt.star_offset, tt.ep_num,
+           tt.udoc_len, tt.doc_subset,
+           tuple(tt.proj_chunk_idx) if tt.proj_chunk_idx else None,
+           commit.doc_commit_hash(), commit.merkle_root,
+           mc.height if mc else None, merkle, hybrid)
+    cached = _CIRCUIT_CACHE.get(key)
+    if cached is None:
+        circuit = StepCircuit(tt, commit.doc_commit_hash(),
+                              merkle_commitment=mc)
+        aug = AugmentedPrimary(circuit)
+        shape = R1CSShape(aug.compiled, aug.io_names)
+        wc = VectorCommitter(b"reef_w", shape.w_pad)
+        ec = VectorCommitter(b"reef_e", shape.n_cons)
+        if len(_CIRCUIT_CACHE) > 8:
+            _CIRCUIT_CACHE.clear()
+        _CIRCUIT_CACHE[key] = (circuit, aug, shape, wc, ec)
+    else:
+        circuit, aug, shape, wc, ec = cached
+        # rebind the fresh table (carries udoc for witness generation)
+        circuit.tt = tt
+        aug.step.tt = tt
     return tt, circuit, aug, shape, wc, ec, mc
+
+
+_CIRCUIT_CACHE: dict = {}
 
 
 class _VerifierMerkle:

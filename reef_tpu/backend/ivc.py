@@ -311,6 +311,9 @@ class RecursiveSNARK:
         assert self.i >= 1, "no steps proven"
         U2_pre = self.acc2.U
         T_last = self.acc2.fold(self.u2_last, *self.w2_last)
+        # NB the two Spartan proofs are independent, but running them in
+        # parallel threads LOSES time on this 4-core host: the native MSM
+        # already fans out across all cores per call
         sp1 = spartan_prove(self.shape1, self.wc1, self.ec1,
                             self.acc1.U, self.acc1.Wit)
         sp2 = spartan_prove(self.shape2, self.wc2, self.ec2,
