@@ -276,9 +276,18 @@ class WitnessGenerator:
             try:
                 import jax
                 if mode == "1" or jax.devices()[0].platform == "tpu":
-                    from ..ops.sumcheck_device import DeviceTableCache
                     from ..ops.limb import FQ as LFQ
-                    cache = DeviceTableCache(LFQ, table)
+                    devs = jax.devices()
+                    if len(devs) > 1 and len(table) >= 2 * len(devs):
+                        # pod slice: shard the table across the mesh (the
+                        # per-round jits compile SPMD, XLA inserts the
+                        # fold/tree-sum collectives)
+                        from ..parallel.mesh import (make_mesh,
+                                                     sharded_table_cache)
+                        cache = sharded_table_cache(LFQ, table, make_mesh())
+                    else:
+                        from ..ops.sumcheck_device import DeviceTableCache
+                        cache = DeviceTableCache(LFQ, table)
             except Exception:
                 cache = None
         self._dev_caches[key] = cache

@@ -62,11 +62,12 @@ class CurveKernels:
         if single:
             arr = arr[None]
         p = self.curve.p
+        # ONE batched Montgomery decode for all coordinates (a per-row
+        # decode costs 3 device round trips per point — seconds over the
+        # tunneled TPU)
+        coords = self.lf.decode(arr.reshape(-1, 3, limb.N))
         out = []
-        for row in arr:
-            x = self.lf.decode(row[0])
-            y = self.lf.decode(row[1])
-            z = self.lf.decode(row[2])
+        for x, y, z in coords:
             if z == 0:
                 out.append(None)
             else:

@@ -13,17 +13,21 @@ Algorithm (per MSM of n points, c-bit windows, W = ceil(255/c) windows):
             of the last point with digit >= d -> bnd (W, 2^c - 1) and a
             mask for empty prefixes
   device 3. gather points into window order (W, n, 3, N)
-         4. Hillis-Steele inclusive prefix point-sum over the n axis
-            (log2(n) levels, ONE batched complete-add per level)
+         4. BLOCKED inclusive prefix point-sum over the n axis: in-group
+            Hillis-Steele over groups of G (log2(G) levels at full batch)
+            + Hillis-Steele over the n/G group totals (log2(n/G) levels at
+            1/G batch); prefix[p] = group_offset[p//G] + in_group[p//G,
+            p%G].  Work ~ n*log2(G) + (n/G)*log2(n/G) complete adds vs the
+            flat scan's n*log2(n) (~3.4x fewer at n=2^16, G=16), with
+            scan bodies of ONE batched complete-add each (the graph shape
+            proven safe on the tunneled compiler).
          5. gather the 2^c - 1 boundary prefix sums per window, mask empty
-            ones to the identity, tree-reduce them (c levels)
+            ones to the identity, sum them with a masked-halving scan
+            (log2 levels, one padd body)
             -> one accumulated point per window:  A_w = sum_d d * B_{w,d}
             (Pippenger's running-sum identity: with points sorted by digit
             descending, sum_d d*B_d = sum_{d>=1} prefix[count(digit>=d)-1])
   host   6. combine: result = sum_w 2^{c*w} * A_w  (a 32-point host MSM)
-
-Graph size: log2(n) + c batched point-adds total, each ~40 limb muls —
-the same order as the proven-safe Poseidon scan body.
 """
 
 from __future__ import annotations
@@ -58,61 +62,94 @@ def _digits_np(scalars: List[int], order_mod: int) -> np.ndarray:
     return digs
 
 
-@functools.lru_cache(maxsize=None)
-def _window_kernel(ck: CurveKernels, n: int, levels: int):
+def window_kernel_fn(ck: CurveKernels, n: int, levels: int):
+    """Raw (unjitted) per-window accumulation kernel — also the local shard
+    body of the mesh-sharded MSM (parallel.mesh.sharded_msm)."""
     import jax
     import jax.numpy as jnp
+
+    G = 16 if n >= 256 else n                         # group size
+    ng = n // G
+
+    def _hs_prefix(vals, axis, length):
+        """Hillis-Steele inclusive prefix point-sum along `axis` (static
+        length); scan with a one-padd body."""
+        if length == 1:
+            return vals
+        lv = max(1, (length - 1).bit_length())
+        pos = jnp.arange(length).reshape(
+            [length if a == axis else 1 for a in range(vals.ndim)])
+
+        def level(carry, shift):
+            shifted = jnp.roll(carry, shift, axis=axis)
+            summed = padd(ck, carry, shifted)
+            return jnp.where(pos >= shift, summed, carry), None
+
+        shifts = jnp.asarray([1 << k for k in range(lv)])
+        out, _ = jax.lax.scan(level, vals, shifts)
+        return out
 
     def kernel(pts, order, bnd_idx, bnd_mask, ident):
         # pts (n,3,N); order (W,n); bnd_idx (W,D); bnd_mask (W,D)
         sorted_pts = pts[order]                       # (W, n, 3, N)
-
-        def level(carry, shift):
-            vals = carry
-            shifted = jnp.roll(vals, shift, axis=1)
-            summed = padd(ck, vals, shifted)
-            idx = jnp.arange(n)[None, :, None, None]
-            vals = jnp.where(idx >= shift, summed, vals)
-            return vals, None
-
-        shifts = jnp.asarray([1 << k for k in range(levels)])
-        prefix, _ = jax.lax.scan(level, sorted_pts, shifts)
-
         W, D = bnd_idx.shape
+        nl = sorted_pts.shape[-1]
+
+        grp = sorted_pts.reshape(W, ng, G, 3, nl)
+        in_grp = _hs_prefix(grp, 2, G)                # in-group prefixes
+        if ng > 1:
+            totals = in_grp[:, :, -1]                 # (W, ng, 3, N)
+            incl = _hs_prefix(totals, 1, ng)
+            # exclusive group offsets: offset[g] = incl[g-1], offset[0]=id
+            excl = jnp.concatenate(
+                [jnp.broadcast_to(ident, (W, 1, 3, nl)), incl[:, :-1]],
+                axis=1)                               # (W, ng, 3, N)
+        in_flat = in_grp.reshape(W, n, 3, nl)
+
         idx_full = jnp.broadcast_to(bnd_idx[:, :, None, None],
-                                    (W, D, 3, prefix.shape[-1]))
-        gathered = jnp.take_along_axis(prefix, idx_full, axis=1)
+                                    (W, D, 3, nl))
+        part = jnp.take_along_axis(in_flat, idx_full, axis=1)
+        if ng > 1:
+            gi = jnp.broadcast_to((bnd_idx // G)[:, :, None, None],
+                                  (W, D, 3, nl))
+            offs = jnp.take_along_axis(excl, gi, axis=1)
+            gathered = padd(ck, part, offs)           # boundary prefixes
+        else:
+            gathered = part
         gathered = jnp.where(bnd_mask[:, :, None, None], gathered,
                              jnp.broadcast_to(ident, gathered.shape))
-        # pad D=2^c-1 to 2^c with one identity column, then tree-reduce
-        pad = jnp.broadcast_to(ident, gathered[:, :1].shape)
-        acc = jnp.concatenate([gathered, pad], axis=1)
-        m = acc.shape[1]
-        while m > 1:
-            half = m // 2
-            acc = padd(ck, acc[:, :half], acc[:, half:m])
-            m = half
+
+        # sum the D boundary points per window: masked-halving scan with a
+        # single batched point-add body (an unrolled tree reduce is a
+        # compile-time bomb; one-padd bodies are the proven-safe shape)
+        D2 = 1 << max(0, (D - 1).bit_length())
+        if D2 != D:
+            padc = jnp.broadcast_to(ident, (W, D2 - D, 3, nl))
+            gathered = jnp.concatenate([gathered, padc], axis=1)
+        pos = jnp.arange(D2)[None, :, None, None]
+
+        def halve(carry, shift):
+            shifted = jnp.roll(carry, -shift, axis=1)
+            summed = padd(ck, carry, shifted)
+            return jnp.where(pos < shift, summed, carry), None
+
+        shifts = jnp.asarray([D2 >> k for k in range(1, D2.bit_length())])
+        acc, _ = jax.lax.scan(halve, gathered, shifts)
         return acc[:, 0]                              # (W, 3, N)
 
-    return jax.jit(kernel)
+    return kernel
 
 
-def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
-    """Full MSM; returns an affine host point (or None)."""
-    import jax.numpy as jnp
+@functools.lru_cache(maxsize=None)
+def _window_kernel(ck: CurveKernels, n: int, levels: int):
+    import jax
+    return jax.jit(window_kernel_fn(ck, n, levels))
 
-    n = len(scalars)
-    assert n >= 1
-    if isinstance(points, list):
-        points = ck.to_proj(points)
-    n2 = 1 << max(0, n - 1).bit_length() if n > 1 else 1
-    if n2 != n:
-        pad = np.broadcast_to(np.asarray(ck.ident), (n2 - n, 3, limb.N))
-        points = np.concatenate([np.asarray(points), pad])
-        scalars = list(scalars) + [0] * (n2 - n)
-        n = n2
 
-    digs = _digits_np(scalars, ck.curve.order)
+def window_prep(scalars: List[int], order_mod: int, n: int):
+    """Host-side digit/sort/boundary prep shared by the single-chip and
+    sharded MSMs: returns (order (W,n) int32, bnd_idx (W,D), bnd_mask)."""
+    digs = _digits_np(scalars, order_mod)
     D = (1 << WINDOW_C) - 1
     order = np.zeros((N_WINDOWS, n), np.int32)
     bnd_idx = np.zeros((N_WINDOWS, D), np.int32)
@@ -120,21 +157,44 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
     for w in range(N_WINDOWS):
         order[w] = np.argsort(-digs[w].astype(np.int32), kind="stable")
         counts = np.bincount(digs[w], minlength=1 << WINDOW_C)
-        # count(digit >= d) for d = D..1
-        c_ge = np.cumsum(counts[::-1])[::-1]          # c_ge[d] over d=0..D
+        c_ge = np.cumsum(counts[::-1])[::-1]
         for d in range(1, D + 1):
             cnt = int(c_ge[d])
             bnd_idx[w, d - 1] = max(cnt - 1, 0)
             bnd_mask[w, d - 1] = cnt > 0
+    return order, bnd_idx, bnd_mask
 
-    levels = max(1, (n - 1).bit_length())
-    kern = _window_kernel(ck, n, levels)
-    accs = np.asarray(kern(jnp.asarray(np.asarray(points)),
-                           jnp.asarray(order), jnp.asarray(bnd_idx),
-                           jnp.asarray(bnd_mask),
-                           jnp.asarray(np.asarray(ck.ident))))
 
-    # host combine: sum_w 2^{c*w} * A_w
+class DeviceBasis:
+    """Device-resident fixed MSM basis.
+
+    The production MSMs (Pedersen witness commits per fold, the IPA's
+    packed basis) reuse ONE basis for the whole run; the tunneled TPU
+    moves ~1.4 MB/s host->device, so re-uploading the (n, 3, N) point
+    array per MSM (100 MB at n=2^14) dwarfs the kernel.  Upload once,
+    keep the padded array on device, and pad scalars per call (zero
+    scalars contribute nothing: their digits sort last, past every
+    bucket boundary)."""
+
+    def __init__(self, ck: CurveKernels, points):
+        import jax
+        import jax.numpy as jnp
+        self.ck = ck
+        if isinstance(points, list):
+            points = ck.to_proj(points)
+        points = np.asarray(points)
+        n = points.shape[0]
+        self.n = n
+        n2 = 1 << max(0, n - 1).bit_length() if n > 1 else 1
+        if n2 != n:
+            pad = np.broadcast_to(np.asarray(ck.ident), (n2 - n, 3, limb.N))
+            points = np.concatenate([points, pad])
+        self.n2 = n2
+        self.arr = jax.device_put(jnp.asarray(points))
+
+
+def combine_windows(ck: CurveKernels, accs) -> Point:
+    """Host combine: sum_w 2^{c*w} * A_w."""
     cv = ck.curve
     window_pts = ck.to_affine(accs)
     result: Point = None
@@ -143,3 +203,39 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
             result = cv.double(result)
         result = cv.add(result, window_pts[w])
     return result
+
+
+def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
+    """Full MSM; returns an affine host point (or None).
+
+    `points` may be a host list/array (uploaded per call) or a DeviceBasis
+    (fixed basis resident on device; only the O(n) int32 index arrays move
+    per call)."""
+    import jax.numpy as jnp
+
+    n = len(scalars)
+    assert n >= 1
+    if isinstance(points, DeviceBasis):
+        assert n <= points.n2
+        scalars = list(scalars) + [0] * (points.n2 - n)
+        n = points.n2
+        pts_dev = points.arr
+    else:
+        if isinstance(points, list):
+            points = ck.to_proj(points)
+        n2 = 1 << max(0, n - 1).bit_length() if n > 1 else 1
+        if n2 != n:
+            pad = np.broadcast_to(np.asarray(ck.ident),
+                                  (n2 - n, 3, limb.N))
+            points = np.concatenate([np.asarray(points), pad])
+            scalars = list(scalars) + [0] * (n2 - n)
+            n = n2
+        pts_dev = jnp.asarray(np.asarray(points))
+
+    order, bnd_idx, bnd_mask = window_prep(scalars, ck.curve.order, n)
+    levels = max(1, (n - 1).bit_length())
+    kern = _window_kernel(ck, n, levels)
+    accs = np.asarray(kern(pts_dev, jnp.asarray(order),
+                           jnp.asarray(bnd_idx), jnp.asarray(bnd_mask),
+                           jnp.asarray(np.asarray(ck.ident))))
+    return combine_windows(ck, accs)

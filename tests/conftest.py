@@ -20,3 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the slow lane's SPMD graphs compile for
+# minutes on CPU; cache them across runs (first run warms, reruns are fast).
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
