@@ -12,6 +12,8 @@ from reef_tpu.frontend import parser, regex as R
 from reef_tpu.frontend.safa import SAFA
 from reef_tpu.ops import field as F
 
+pytestmark = pytest.mark.e2e
+
 f = F.FQ
 
 

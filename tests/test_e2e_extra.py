@@ -6,6 +6,8 @@ import pytest
 from tests.test_e2e import e2e
 from tests.test_step_circuit import run_case
 
+pytestmark = pytest.mark.e2e
+
 
 def test_e2e_projections():
     _, _, ok = e2e("^.{36}ACGT$", "ACGT", "A" * 36 + "ACGT",

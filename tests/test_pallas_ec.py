@@ -40,6 +40,7 @@ def test_padd_tiles_complete_cases():
     assert got == [cv.add(a, b) for a, b in pairs]
 
 
+@pytest.mark.slow
 def test_msm_pallas_orchestration(monkeypatch):
     monkeypatch.setattr(PE, "BLOCK", 4)
     n = 6

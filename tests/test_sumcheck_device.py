@@ -13,6 +13,7 @@ f = F.FQ
 RNG = random.Random(77)
 
 
+@pytest.mark.slow
 def test_device_rounds_match_host():
     ell, m = 3, 4
     table = [RNG.randrange(f.p) for _ in range(1 << ell)]
