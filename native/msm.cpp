@@ -139,6 +139,46 @@ struct Field {
     Fe one = {{1, 0, 0, 0}};
     mul(o, a, one);
   }
+
+  void neg(Fe& o, const Fe& a) const {
+    bool zero = !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+    if (zero) {
+      memset(o.v, 0, 32);
+    } else {
+      sub_nocheck(o.v, c.p, a.v);
+    }
+  }
+
+  // Fermat inversion (input/output Montgomery); 0 -> 0
+  void inv(Fe& o, const Fe& a) const {
+    u64 e[4];
+    memcpy(e, c.p, 32);
+    e[0] -= 2;  // p is odd and > 2: no borrow
+    Fe acc;
+    memcpy(acc.v, c.one_m, 32);
+    for (int bit = 254; bit >= 0; bit--) {
+      mul(acc, acc, acc);
+      if ((e[bit >> 6] >> (bit & 63)) & 1) mul(acc, acc, a);
+    }
+    o = acc;
+  }
+
+  // Montgomery-trick batch inversion, in place; all inputs nonzero
+  void inv_batch(Fe* xs, int64_t n) const {
+    if (n == 0) return;
+    std::vector<Fe> prefix(n);
+    prefix[0] = xs[0];
+    for (int64_t i = 1; i < n; i++) mul(prefix[i], prefix[i - 1], xs[i]);
+    Fe it;
+    inv(it, prefix[n - 1]);
+    for (int64_t i = n - 1; i >= 1; i--) {
+      Fe xi;
+      mul(xi, it, prefix[i - 1]);
+      mul(it, it, xs[i]);
+      xs[i] = xi;
+    }
+    xs[0] = it;
+  }
 };
 
 struct Pt {
@@ -229,66 +269,194 @@ Curve* get_curve(int curve_id) {
   return curve_id == 0 ? &pallas : &vesta;
 }
 
-}  // namespace
+// ---------------------------------------------------------------------------
+// Batch-affine bucket accumulation.  Points within a window's buckets are
+// summed with AFFINE additions whose per-pair inversion is amortized by
+// Montgomery's trick (one Fermat inversion per reduction round per window):
+// ~6 field muls per add vs ~12 for the complete projective formula.  Signed
+// digits halve the bucket count, paying one extra y-negation per point.
+// ---------------------------------------------------------------------------
 
-extern "C" {
+struct Aff {
+  Fe x, y;
+  bool inf;
+};
 
-// scalars: n * 32 bytes LE; points: n * 65 bytes (32 x, 32 y, 1 inf flag);
-// out: 65 bytes affine-compatible? -> out is 96 bytes projective
-// (X,Y,Z canonical non-Montgomery); python converts to affine.
-void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
-                   const uint8_t* points, const int64_t* idx, uint8_t* out) {
-  Curve& cv = *get_curve(curve_id);
-  const Field& f = cv.f;
+struct PairRec {
+  Fe x1, y1, x2;
+  int64_t slot;
+};
 
-  // convert points to Montgomery projective
-  std::vector<Pt> pts(n);
-  for (int64_t i = 0; i < n; i++) {
-    const uint8_t* pp = points + (idx ? idx[i] : i) * 65;
-    if (pp[64]) {
-      pts[i] = cv.ident;
-      continue;
+// one round of pairwise in-bucket reduction over a flat, bucket-grouped
+// array; seg[b] = (start, count).  Direct cases (identity operands,
+// P + (-P)) resolve immediately; real additions defer completion until the
+// shared batch inversion.  Returns max remaining count.
+int64_t affine_round(const Field& f, Aff* items,
+                     std::vector<std::pair<int64_t, int64_t>>& seg,
+                     std::vector<Fe>& dens, std::vector<PairRec>& recs) {
+  dens.clear();
+  recs.clear();
+  int64_t maxc = 0;
+  for (auto& sc : seg) {
+    int64_t s = sc.first, m = sc.second;
+    int64_t w = 0;  // write cursor (relative)
+    for (int64_t k = 0; k + 1 < m; k += 2) {
+      Aff A = items[s + k];
+      Aff B = items[s + k + 1];
+      Aff& O = items[s + w];
+      if (A.inf) {
+        O = B;
+      } else if (B.inf) {
+        O = A;
+      } else if (memcmp(A.x.v, B.x.v, 32) == 0) {
+        if (memcmp(A.y.v, B.y.v, 32) == 0) {
+          // doubling: lambda = 3x^2 / 2y  (y != 0: the curve order is odd,
+          // so there are no 2-torsion points)
+          Fe x2, num, den;
+          f.mul(x2, A.x, A.x);
+          f.add(num, x2, x2);
+          f.add(num, num, x2);
+          f.add(den, A.y, A.y);
+          dens.push_back(den);
+          recs.push_back({A.x, A.y, A.x, s + w});
+          O.inf = false;  // completed after inversion
+          // num rides in recs via y1? no -- keep num in O.x temporarily
+          O.x = num;
+        } else {
+          O.inf = true;  // P + (-P)
+        }
+      } else {
+        Fe num, den;
+        f.sub(num, B.y, A.y);
+        f.sub(den, B.x, A.x);
+        dens.push_back(den);
+        recs.push_back({A.x, A.y, B.x, s + w});
+        O.inf = false;
+        O.x = num;  // numerator parked in the output slot
+      }
+      w++;
     }
-    Fe x, y;
-    memcpy(x.v, pp, 32);
-    memcpy(y.v, pp + 32, 32);
-    f.to_mont(pts[i].X, x);
-    f.to_mont(pts[i].Y, y);
-    memcpy(pts[i].Z.v, f.c.one_m, 32);
+    if (m & 1) {
+      items[s + w] = items[s + m - 1];
+      w++;
+    }
+    sc.second = w;
+    if (w > maxc) maxc = w;
   }
+  if (!dens.empty()) {
+    f.inv_batch(dens.data(), (int64_t)dens.size());
+    for (size_t i = 0; i < recs.size(); i++) {
+      const PairRec& r = recs[i];
+      Aff& O = items[r.slot];
+      Fe lam, x3, y3, t;
+      f.mul(lam, O.x, dens[i]);  // num / den
+      f.mul(x3, lam, lam);
+      f.sub(x3, x3, r.x1);
+      f.sub(x3, x3, r.x2);
+      f.sub(t, r.x1, x3);
+      f.mul(y3, lam, t);
+      f.sub(y3, y3, r.y1);
+      O.x = x3;
+      O.y = y3;
+      O.inf = false;
+    }
+  }
+  return maxc;
+}
 
+// scalar field of a curve = base field of the OTHER pasta curve
+Field* scalar_field(int curve_id) {
+  return &get_curve(curve_id ^ 1)->f;
+}
+
+// MSM over loaded Montgomery-affine points; scalars n * 32 bytes LE
+// (standard form, already reduced mod the group order).
+void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
+              const std::vector<Aff>& pts, Pt& result_out) {
+  const Field& f = cv.f;
   int c;
   const char* cenv = getenv("REEF_MSM_C");
   if (cenv) { c = atoi(cenv); }
   else {
     int logn = 0;
     while ((1LL << (logn + 1)) <= n) logn++;
-    c = logn - 4;  // empirical optimum for these add costs
+    c = logn - 3;  // signed digits halve the bucket count vs unsigned
     if (c < 4) c = 4;
     if (c > 16) c = 16;
   }
-  int windows = (255 + c - 1) / c;
-  int n_buckets = (1 << c) - 1;
+  int windows = (256 + c - 1) / c;  // >= 256 bits so the top carry is free
+  int64_t B = 1LL << (c - 1);      // signed buckets 1..B
+
+  // signed digit recoding with carry (digits in [-2^(c-1), 2^(c-1)]);
+  // scalars are < 2^255 (reduced mod the group order by the caller) so the
+  // final carry is always absorbed by the top window
+  std::vector<int32_t> digits((size_t)windows * n);
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* s = scalars + i * 32;
+    uint32_t carry = 0;
+    for (int w = 0; w < windows; w++) {
+      int bit0 = w * c;
+      uint32_t raw = 0;
+      for (int k = 0; k < c; k++) {
+        int bit = bit0 + k;
+        if (bit < 256 && (s[bit >> 3] >> (bit & 7)) & 1) raw |= 1u << k;
+      }
+      raw += carry;
+      if (raw > (uint32_t)B) {
+        digits[(size_t)w * n + i] = (int32_t)raw - (1 << c);
+        carry = 1;
+      } else {
+        digits[(size_t)w * n + i] = (int32_t)raw;
+        carry = 0;
+      }
+    }
+  }
 
   // window accumulations are independent: parallelize across threads and
   // combine with the serial doubling chain afterwards (the reference gets
   // the same effect from rayon inside the nova fork's MSMs)
   std::vector<Pt> accs(windows);
   auto do_window = [&](int w) {
-    std::vector<Pt> buckets(n_buckets, cv.ident);
-    int bit0 = w * c;
+    const int32_t* dw = digits.data() + (size_t)w * n;
+    // counting sort by |digit| into one flat, bucket-grouped array
+    std::vector<int64_t> cnt(B + 1, 0);
     for (int64_t i = 0; i < n; i++) {
-      const uint8_t* s = scalars + i * 32;
-      uint32_t digit = 0;
-      for (int k = 0; k < c; k++) {
-        int bit = bit0 + k;
-        if (bit < 256 && (s[bit >> 3] >> (bit & 7)) & 1) digit |= 1u << k;
-      }
-      if (digit) cv.padd(buckets[digit - 1], buckets[digit - 1], pts[i]);
+      int32_t d = dw[i];
+      if (d && !pts[i].inf) cnt[d < 0 ? -d : d]++;
     }
+    std::vector<std::pair<int64_t, int64_t>> seg(B);
+    int64_t total = 0;
+    for (int64_t b = 1; b <= B; b++) {
+      seg[b - 1] = {total, 0};
+      total += cnt[b];
+    }
+    std::vector<Aff> items(total);
+    for (int64_t i = 0; i < n; i++) {
+      int32_t d = dw[i];
+      if (!d || pts[i].inf) continue;
+      int64_t b = d < 0 ? -d : d;
+      Aff a = pts[i];
+      if (d < 0) f.neg(a.y, a.y);
+      auto& sc = seg[b - 1];
+      items[sc.first + sc.second] = a;
+      sc.second++;
+    }
+    // pairwise reduction rounds, one batch inversion each
+    std::vector<Fe> dens;
+    std::vector<PairRec> recs;
+    while (affine_round(f, items.data(), seg, dens, recs) > 1) {
+    }
+    // running-sum bucket combine in projective: acc = sum_b b * bucket_b
     Pt running = cv.ident, acc = cv.ident;
-    for (int b = n_buckets - 1; b >= 0; b--) {
-      cv.padd(running, running, buckets[b]);
+    for (int64_t b = B; b >= 1; b--) {
+      const auto& sc = seg[b - 1];
+      if (sc.second == 1 && !items[sc.first].inf) {
+        Pt lifted;
+        lifted.X = items[sc.first].x;
+        lifted.Y = items[sc.first].y;
+        memcpy(lifted.Z.v, f.c.one_m, 32);
+        cv.padd(running, running, lifted);
+      }
       cv.padd(acc, acc, running);
     }
     accs[w] = acc;
@@ -318,7 +486,23 @@ void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
     for (int d = 0; d < c; d++) cv.padd(result, result, result);
     cv.padd(result, result, accs[w]);
   }
+  result_out = result;
+}
 
+void load_affine(const Field& f, const uint8_t* pp, Aff& a) {
+  if (pp[64]) {
+    a.inf = true;
+    return;
+  }
+  Fe x, y;
+  memcpy(x.v, pp, 32);
+  memcpy(y.v, pp + 32, 32);
+  f.to_mont(a.x, x);
+  f.to_mont(a.y, y);
+  a.inf = false;
+}
+
+void store_proj(const Field& f, const Pt& result, uint8_t* out) {
   Fe X, Y, Z;
   f.from_mont(X, result.X);
   f.from_mont(Y, result.Y);
@@ -326,6 +510,28 @@ void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
   memcpy(out, X.v, 32);
   memcpy(out + 32, Y.v, 32);
   memcpy(out + 64, Z.v, 32);
+}
+
+}  // namespace
+
+extern "C" {
+
+// scalars: n * 32 bytes LE; points: n * 65 bytes (32 x, 32 y, 1 inf flag);
+// out is 96 bytes projective (X,Y,Z canonical non-Montgomery); python
+// converts to affine.
+void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
+                   const uint8_t* points, const int64_t* idx,
+                   uint8_t* out) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+  // load points as Montgomery AFFINE (bucket accumulation is affine; only
+  // the per-window bucket combine lifts to projective)
+  std::vector<Aff> pts(n);
+  for (int64_t i = 0; i < n; i++)
+    load_affine(f, points + (idx ? idx[i] : i) * 65, pts[i]);
+  Pt result;
+  msm_core(cv, n, scalars, pts, result);
+  store_proj(f, result, out);
 }
 
 void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
@@ -430,4 +636,150 @@ void pasta_fold_points(int curve_id, int64_t n, const uint8_t* xi_b,
     op[64] = 0;
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Native IPA prover rounds (backend/ipa.py's hot loop).  The context keeps
+// w, R, coeff in the curve's SCALAR field (Montgomery form) plus the basis
+// as Montgomery-affine points; each round computes the two cross dots and
+// the two expanded-scalar MSMs over the original basis in one pass, and the
+// fold updates run natively.  The Fiat-Shamir transcript (and the blinded
+// G_s/H terms) stay on the Python side.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct IpaCtx {
+  int curve_id;
+  int64_t n;        // current folded length
+  int64_t n_orig;
+  std::vector<Fe> w, R, coeff;  // scalar field, Montgomery
+  std::vector<Aff> basis;       // base field, Montgomery affine
+};
+
+void load_scalar_mont(const Field& sf, const uint8_t* b, Fe& o) {
+  Fe t;
+  memcpy(t.v, b, 32);
+  sf.to_mont(o, t);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ipa_init(int curve_id, int64_t n, const uint8_t* w_bytes,
+               const uint8_t* R_bytes, const uint8_t* packed_points) {
+  IpaCtx* ctx = new IpaCtx();
+  ctx->curve_id = curve_id;
+  ctx->n = n;
+  ctx->n_orig = n;
+  const Field& sf = *scalar_field(curve_id);
+  const Field& bf = get_curve(curve_id)->f;
+  ctx->w.resize(n);
+  ctx->R.resize(n);
+  ctx->coeff.resize(n);
+  for (int64_t i = 0; i < n; i++) {
+    load_scalar_mont(sf, w_bytes + 32 * i, ctx->w[i]);
+    load_scalar_mont(sf, R_bytes + 32 * i, ctx->R[i]);
+    memcpy(ctx->coeff[i].v, sf.c.one_m, 32);
+  }
+  ctx->basis.resize(n);
+  for (int64_t i = 0; i < n; i++)
+    load_affine(bf, packed_points + 65 * i, ctx->basis[i]);
+  return ctx;
+}
+
+// One round: outputs cL, cR (32B standard) and the two MSM partial points
+// <w_lo, G'_hi>, <w_hi, G'_lo> (96B projective canonical each).
+void ipa_cross(void* h, uint8_t* cL_out, uint8_t* cR_out, uint8_t* L_out,
+               uint8_t* R_out) {
+  IpaCtx* ctx = (IpaCtx*)h;
+  Curve& cv = *get_curve(ctx->curve_id);
+  const Field& sf = *scalar_field(ctx->curve_id);
+  int64_t n = ctx->n, half = n / 2, no = ctx->n_orig;
+
+  Fe cL, cR, t;
+  memset(cL.v, 0, 32);
+  memset(cR.v, 0, 32);
+  for (int64_t i = 0; i < half; i++) {
+    sf.mul(t, ctx->w[i], ctx->R[half + i]);
+    sf.add(cL, cL, t);
+    sf.mul(t, ctx->w[half + i], ctx->R[i]);
+    sf.add(cR, cR, t);
+  }
+  Fe cLs, cRs;
+  sf.from_mont(cLs, cL);
+  sf.from_mont(cRs, cR);
+  memcpy(cL_out, cLs.v, 32);
+  memcpy(cR_out, cRs.v, 32);
+
+  // expanded scalars over the ORIGINAL basis: position j contributes to L
+  // when (j mod n) >= half with scalar w_lo[(j mod n) - half] * coeff[j],
+  // else to R with scalar w_hi[j mod n] * coeff[j].
+  std::vector<uint8_t> sL, sR;
+  std::vector<Aff> pL, pR;
+  sL.reserve(32 * (no / 2));
+  sR.reserve(32 * (no / 2));
+  pL.reserve(no / 2);
+  pR.reserve(no / 2);
+  Fe sm, ss;
+  for (int64_t j = 0; j < no; j++) {
+    int64_t pos = j % n;
+    bool to_L = pos >= half;
+    sf.mul(sm, to_L ? ctx->w[pos - half] : ctx->w[half + pos],
+           ctx->coeff[j]);
+    bool zero = !(sm.v[0] | sm.v[1] | sm.v[2] | sm.v[3]);
+    if (zero || ctx->basis[j].inf) continue;
+    sf.from_mont(ss, sm);
+    auto& sv = to_L ? sL : sR;
+    auto& pv = to_L ? pL : pR;
+    size_t off = sv.size();
+    sv.resize(off + 32);
+    memcpy(sv.data() + off, ss.v, 32);
+    pv.push_back(ctx->basis[j]);
+  }
+  Pt L, Rp;
+  msm_core(cv, (int64_t)pL.size(), sL.data(), pL, L);
+  msm_core(cv, (int64_t)pR.size(), sR.data(), pR, Rp);
+  store_proj(cv.f, L, L_out);
+  store_proj(cv.f, Rp, R_out);
+}
+
+// Fold with challenge x (32B standard):
+//   w   <- x*w_lo + x^-1*w_hi;  R <- x^-1*R_lo + x*R_hi;
+//   coeff[j] *= (x^-1 if (j mod n) < half else x);  n <- n/2.
+void ipa_fold(void* h, const uint8_t* x_bytes) {
+  IpaCtx* ctx = (IpaCtx*)h;
+  const Field& sf = *scalar_field(ctx->curve_id);
+  int64_t n = ctx->n, half = n / 2, no = ctx->n_orig;
+  Fe x, xi, a, b;
+  load_scalar_mont(sf, x_bytes, x);
+  sf.inv(xi, x);
+  for (int64_t i = 0; i < half; i++) {
+    sf.mul(a, x, ctx->w[i]);
+    sf.mul(b, xi, ctx->w[half + i]);
+    sf.add(ctx->w[i], a, b);
+    sf.mul(a, xi, ctx->R[i]);
+    sf.mul(b, x, ctx->R[half + i]);
+    sf.add(ctx->R[i], a, b);
+  }
+  for (int64_t j = 0; j < no; j++) {
+    int64_t pos = j % n;
+    sf.mul(ctx->coeff[j], ctx->coeff[j], pos < half ? xi : x);
+  }
+  ctx->n = half;
+}
+
+// Final folded scalar w[0] (32B standard).
+void ipa_final(void* h, uint8_t* w0_out) {
+  IpaCtx* ctx = (IpaCtx*)h;
+  const Field& sf = *scalar_field(ctx->curve_id);
+  Fe o;
+  sf.from_mont(o, ctx->w[0]);
+  memcpy(w0_out, o.v, 32);
+}
+
+void ipa_free(void* h) { delete (IpaCtx*)h; }
+
 }

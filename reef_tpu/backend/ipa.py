@@ -68,6 +68,39 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
     w = [x % p for x in w]
     R = [x % p for x in R_pub]
     rho_p = (rho + tau * r_v) % p
+
+    # native round engine: w/R/coeff folds, cross dots, and the two
+    # expanded-scalar MSMs per round all run in C (native/msm.cpp ipa_*);
+    # only the transcript, blinds, and G_s/H terms stay here
+    try:
+        from ..ec.native_msm import IpaNative
+        eng = IpaNative(cv, w, R, gens.packed_G()) if n > 1 else None
+    except RuntimeError:
+        eng = None
+    if eng is not None:
+        Ls, Rs = [], []
+        n_cur = n
+        while n_cur > 1:
+            cL, cR, mL, mR = eng.cross()
+            r_L = secrets.randbelow(p)
+            r_R = secrets.randbelow(p)
+            L = cv.add(cv.add(mL, cv.mul(tau * cL % p, G_s)),
+                       cv.mul(r_L, H))
+            Rp = cv.add(cv.add(mR, cv.mul(tau * cR % p, G_s)),
+                        cv.mul(r_R, H))
+            Ls.append(cv.compress(L))
+            Rs.append(cv.compress(Rp))
+            t.append(b"L", list(cv.compress(L)))
+            t.append(b"R", list(cv.compress(Rp)))
+            x = t.challenge(b"ipa_x", cv.order)
+            xi = pow(x, -1, p)
+            eng.fold(x)
+            rho_p = (x * x % p * r_L + rho_p + xi * xi % p * r_R) % p
+            n_cur //= 2
+        a_final = eng.final()
+        eng.close()
+        return IpaProof(Ls, Rs, a_final, rho_p)
+
     coeff = [1] * n_orig          # G'_{j mod cur} accumulates coeff[j]*G[j]
 
     Ls, Rs = [], []

@@ -40,10 +40,87 @@ def _load() -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.c_char_p]
         lib.pasta_fold_points.restype = None
+        lib.ipa_init.restype = ctypes.c_void_p
+        lib.ipa_init.argtypes = [ctypes.c_int, ctypes.c_int64,
+                                 ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_char_p]
+        lib.ipa_cross.restype = None
+        lib.ipa_cross.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                  ctypes.c_char_p, ctypes.c_char_p,
+                                  ctypes.c_char_p]
+        lib.ipa_fold.restype = None
+        lib.ipa_fold.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.ipa_final.restype = None
+        lib.ipa_final.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.ipa_free.restype = None
+        lib.ipa_free.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception:
         _BUILD_FAILED = True
     return _LIB
+
+
+def _unpack_proj(curve, raw: bytes):
+    X = int.from_bytes(raw[0:32], "little")
+    Y = int.from_bytes(raw[32:64], "little")
+    Z = int.from_bytes(raw[64:96], "little")
+    if Z == 0:
+        return None
+    p = curve.p
+    zi = pow(Z, p - 2, p)
+    return (X * zi % p, Y * zi % p)
+
+
+class IpaNative:
+    """Native IPA round engine: holds w/R/coeff (scalar field) and the
+    Montgomery-affine basis in C; per round returns (cL, cR, mL, mR) and
+    folds on the host-supplied challenge.  Transcript/blinds stay in
+    Python (backend/ipa.py)."""
+
+    def __init__(self, curve, w: List[int], R: List[int], packed: bytes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native msm unavailable")
+        from .pasta import PALLAS
+        self.curve = curve
+        self.lib = lib
+        n = len(w)
+        assert len(packed) >= 65 * n
+        wb = b"".join((x % curve.order).to_bytes(32, "little") for x in w)
+        rb = b"".join((x % curve.order).to_bytes(32, "little") for x in R)
+        self.h = lib.ipa_init(ctypes.c_int(0 if curve is PALLAS else 1),
+                              ctypes.c_int64(n), wb, rb, packed)
+
+    def cross(self):
+        cl = ctypes.create_string_buffer(32)
+        cr = ctypes.create_string_buffer(32)
+        lp = ctypes.create_string_buffer(96)
+        rp = ctypes.create_string_buffer(96)
+        self.lib.ipa_cross(self.h, cl, cr, lp, rp)
+        return (int.from_bytes(cl.raw, "little"),
+                int.from_bytes(cr.raw, "little"),
+                _unpack_proj(self.curve, lp.raw),
+                _unpack_proj(self.curve, rp.raw))
+
+    def fold(self, x: int):
+        self.lib.ipa_fold(
+            self.h, (x % self.curve.order).to_bytes(32, "little"))
+
+    def final(self) -> int:
+        out = ctypes.create_string_buffer(32)
+        self.lib.ipa_final(self.h, out)
+        return int.from_bytes(out.raw, "little")
+
+    def close(self):
+        if self.h:
+            self.lib.ipa_free(self.h)
+            self.h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def _pack_points(points) -> bytearray:
