@@ -390,6 +390,31 @@ void fv_fold_mont(uint8_t* tab, const uint8_t* r, i64 half, int field) {
   }
 }
 
+// in-place Montgomery-domain scale: tab[i] *= r  (r standard form)
+void fv_scale_mont(uint8_t* tab, const uint8_t* r, i64 n, int field) {
+  const Field& f = F(field);
+  Fe rm;
+  load(rm, r);
+  f.to_mont(rm, rm);
+  for (i64 i = 0; i < n; i++) {
+    Fe x;
+    load(x, tab + 32 * i);
+    f.mul(x, x, rm);
+    store(tab + 32 * i, x);
+  }
+}
+
+// tab[idx] += v  (v standard form; tab Montgomery)
+void fv_add_at(uint8_t* tab, i64 idx, const uint8_t* v, int field) {
+  const Field& f = F(field);
+  Fe vm, x;
+  load(vm, v);
+  f.to_mont(vm, vm);
+  load(x, tab + 32 * idx);
+  f.add(x, x, vm);
+  store(tab + 32 * idx, x);
+}
+
 // eq table: out[j] = prod_k (point[k] if bit else 1-point[k]), MSB-first
 // point; out Montgomery, length 2^l (built by successive doubling).
 void fv_eq_evals(uint8_t* out, const uint8_t* point, i64 l, int field) {

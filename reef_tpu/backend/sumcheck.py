@@ -207,7 +207,7 @@ def nlookup_prove(f: F.HostField, table: List[int], qs: List[int],
                   vs: List[int], running_q: Optional[List[int]],
                   running_v: Optional[int], tag: str,
                   doc_hash: Optional[int] = None,
-                  device_cache=None) -> NlookupProof:
+                  device_cache=None, host_cache=None) -> NlookupProof:
     """Run the prover side of one nlookup batch (r1cs.rs:2177-2393).
 
     With `device_cache` (a reef_tpu.ops.sumcheck_device.DeviceTableCache for
@@ -251,18 +251,24 @@ def nlookup_prove(f: F.HostField, table: List[int], qs: List[int],
 
     # native host path: eq-table build + per-round coefficient sums + folds
     # in C (the round-1 python loops dominated prove time on large docs);
-    # the Fiat-Shamir sponge stays on the host between rounds.
+    # the Fiat-Shamir sponge stays on the host between rounds.  The whole
+    # prep stays in the Montgomery domain: eq built natively, scaled by the
+    # running-claim challenge in place, the few lookup deltas patched per
+    # index; the (constant) table reuses a caller-provided cached
+    # MontTable via an O(n) memcpy instead of an O(n) int conversion.
     from ..ops import native_fieldvec as FV
     if FV.available() and p in FV.FIELD_ID and len(table) >= 32:
-        eq_base = FV.eq_evals_native(prev_q, p)
+        e_m = FV.eq_evals_mont(prev_q, p)
         r_run = rs[num_vs]
-        eq_list = [r_run * e % p for e in eq_base]
+        e_m.scale(r_run)
         for i, qi in enumerate(qs):
-            eq_list[qi] = (eq_list[qi] + rs[i]) % p
-        sct = [t % p for t in table]
-        sct.extend([0] * ((1 << sc_l) - len(sct)))
-        t_m = FV.MontTable(sct, p)
-        e_m = FV.MontTable(eq_list, p)
+            e_m.add_at(qi, rs[i])
+        if host_cache is not None and host_cache.n == (1 << sc_l):
+            t_m = host_cache.copy()
+        else:
+            sct = [t % p for t in table]
+            sct.extend([0] * ((1 << sc_l) - len(sct)))
+            t_m = FV.MontTable(sct, p)
         sc_rs = []
         g_coeffs = []
         for _ in range(sc_l):

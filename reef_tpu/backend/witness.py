@@ -293,12 +293,36 @@ class WitnessGenerator:
         self._dev_caches[key] = cache
         return cache
 
+    def _maybe_host_cache(self, tag: str, table):
+        """Padded Montgomery-domain copy of a (constant) lookup table,
+        built once per run: each nlookup batch clones it with a memcpy
+        instead of re-converting len(table) python ints (the dominant cost
+        at 1 MB docs: the doc table alone is 2^20 conversions per fold)."""
+        from ..ops import native_fieldvec as FV
+        if not FV.available() or len(table) < (1 << 10):
+            return None
+        if not hasattr(self, "_host_caches"):
+            self._host_caches = {}
+        key = (tag, len(table))
+        cache = self._host_caches.get(key)
+        if cache is None:
+            p = F.FQ.p
+            if p not in FV.FIELD_ID:
+                return None
+            sc_l = max(1, (len(table) - 1).bit_length())
+            sct = [t % p for t in table]
+            sct.extend([0] * ((1 << sc_l) - len(sct)))
+            cache = FV.MontTable(sct, p)
+            self._host_caches[key] = cache
+        return cache
+
     def _fill_nl(self, wits, tag: str, table, qs, vs, prev_q, prev_v,
                  doc_hash, result, attr: str = "nl"):
         f = F.FQ
-        proof = nlookup_prove(f, table, qs, vs, prev_q, prev_v, tag, doc_hash,
-                              device_cache=self._maybe_device_cache(tag,
-                                                                    table))
+        proof = nlookup_prove(
+            f, table, qs, vs, prev_q, prev_v, tag, doc_hash,
+            device_cache=self._maybe_device_cache(tag, table),
+            host_cache=self._maybe_host_cache(tag, table))
         sc_l = len(proof.sc_rs)
         for i, q in enumerate(qs):
             for j in range(sc_l):

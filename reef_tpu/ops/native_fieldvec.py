@@ -58,14 +58,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fv_sc2_evals.argtypes = [Buf, Buf, Buf, I64, C]
         lib.fv_nl_round.argtypes = [Buf, Buf, Buf, I64, C]
         lib.fv_fold_mont.argtypes = [Buf, B, I64, C]
+        lib.fv_scale_mont.argtypes = [Buf, B, I64, C]
+        lib.fv_add_at.argtypes = [Buf, I64, B, C]
         lib.fv_eq_evals.argtypes = [Buf, B, I64, C]
         lib.fv_mtab.argtypes = [Buf, IP, IP, B, I64, Buf, B, C]
         lib.fv_bilinear.argtypes = [Buf, IP, IP, B, I64, Buf, Buf, C]
         lib.fv_dot.argtypes = [Buf, B, B, I64, C]
         for fn in ("fv_to_mont", "fv_from_mont", "fv_fold", "fv_matvec",
                    "fv_cross", "fv_sc1_evals", "fv_sc2_evals", "fv_nl_round",
-                   "fv_fold_mont", "fv_eq_evals", "fv_mtab",
-                   "fv_bilinear", "fv_dot"):
+                   "fv_fold_mont", "fv_scale_mont", "fv_add_at",
+                   "fv_eq_evals", "fv_mtab", "fv_bilinear", "fv_dot"):
             getattr(lib, fn).restype = None
         _LIB = lib
     except Exception:
@@ -202,6 +204,27 @@ class MontTable:
         out = ctypes.create_string_buffer(32)
         lib.fv_from_mont(out, self.buf, 1, self.fid)
         return int.from_bytes(out.raw, "little")
+
+    def copy(self) -> "MontTable":
+        """O(n) memcpy clone — lets a cached table survive in-place folds."""
+        t = MontTable.__new__(MontTable)
+        t.p = self.p
+        t.fid = self.fid
+        t.n = self.n
+        t.buf = ctypes.create_string_buffer(self.buf.raw[:32 * self.n],
+                                            32 * self.n)
+        return t
+
+    def scale(self, r: int):
+        """tab[i] *= r, in place."""
+        lib = _load()
+        lib.fv_scale_mont(self.buf, pack([r], self.p), self.n, self.fid)
+
+    def add_at(self, idx: int, v: int):
+        """tab[idx] += v, in place."""
+        lib = _load()
+        lib.fv_add_at(self.buf, ctypes.c_int64(idx), pack([v], self.p),
+                      self.fid)
 
 
 def sc1_evals(eq: MontTable, az: MontTable, bz: MontTable, cz: MontTable,
