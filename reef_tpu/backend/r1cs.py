@@ -207,8 +207,21 @@ class ConstraintSystem:
             return self.mul(x4, x)
 
         def mix(s: List[LC]) -> List[LC]:
-            return [lc_add(*[lc_scale(s[j], mds[i][j]) for j in range(t)])
-                    for i in range(t)]
+            # merged scale+add with coefficients reduced mod p: without the
+            # reduction, partial-round lanes re-scale by 255-bit MDS entries
+            # every round and coefficients grow ~255 bits/round — big-int
+            # blowup that dominated circuit BUILD time (and bloated the
+            # constraint matrices R1CSShape then reduces anyway)
+            out = []
+            for i in range(t):
+                row = mds[i]
+                acc: LC = {}
+                for j in range(t):
+                    m = row[j]
+                    for k, v in s[j].items():
+                        acc[k] = (acc.get(k, 0) + v * m) % p
+                out.append({k: v for k, v in acc.items() if v})
+            return out
 
         def rebind(lc: LC) -> LC:
             # cap LC support growth: untouched lanes accumulate wide linear
