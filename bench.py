@@ -62,9 +62,22 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
     return batch / best
 
 
-def bench_msm_device(n=1 << 12):
+def bench_msm_device(n=1 << 12, iters=3, kernel_only=True):
+    """Device Pippenger MSM pts/s over a resident DeviceBasis (the
+    production shape: fixed Pedersen/IPA basis, fresh scalars per fold).
+
+    kernel_only=True times the jitted window kernel on device-resident
+    inputs (iters chained async dispatches, one small d2h sync) — the
+    number that matters for a production deployment where host<->device
+    moves at PCIe/DMA rates.  kernel_only=False times the full
+    msm_device() call including the host digit prep and the tunneled
+    index-array upload (the axon tunnel moves ~3 MB/s, so this is
+    tunnel-bound, not kernel-bound; see BENCHMARKS.md)."""
     import random
+    import jax.numpy as jnp
+    import numpy as np
     from reef_tpu.ec import msm as M
+    from reef_tpu.ec import msm_pippenger as MP
     from reef_tpu.ec.pasta import VESTA
 
     RNG = random.Random(5)
@@ -72,12 +85,33 @@ def bench_msm_device(n=1 << 12):
     pts = [VESTA.mul(RNG.randrange(1, 1 << 64), VESTA.gen)
            for _ in range(min(n, 256))]
     pts = (pts * (n // len(pts) + 1))[:n]
+    basis = MP.DeviceBasis(ck, pts)
     scalars = [RNG.randrange(VESTA.order) for _ in range(n)]
-    t0 = time.time()
-    out = M.msm_device(ck, scalars, pts)
-    _sync(out)
-    dt = time.time() - t0
-    return n / dt
+    MP.msm_device(ck, scalars, basis)          # warm: upload + compile
+    if kernel_only:
+        import jax
+        order, lv_idx, lv_mask = MP.window_prep_v2(
+            scalars, ck.curve.order, basis.n2)
+        kern = MP._window_kernel_v2(ck, basis.n2)
+        args = [jax.device_put(jnp.asarray(a))
+                for a in (order, lv_idx, lv_mask)]
+        ident = jax.device_put(jnp.asarray(np.asarray(ck.ident)))
+        _sync(kern(basis.arr, *args, ident))   # warm this exact shape
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = kern(basis.arr, *args, ident)
+        _sync(out)                             # one (W,3,N) d2h sync
+        dt = (time.time() - t0) / iters
+        return n / dt
+    best = None
+    for _ in range(iters):
+        scalars = [RNG.randrange(VESTA.order) for _ in range(n)]
+        t0 = time.time()
+        MP.msm_device(ck, scalars, basis)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return n / best
 
 
 def bench_msm_native(n=1 << 14):
@@ -197,7 +231,9 @@ def main():
     if "--all" in sys.argv:
         results = {}
         for name, fn in [("poseidon_perms_per_s", bench_poseidon),
-                         ("msm_device_pts_per_s", bench_msm_device),
+                         ("msm_device_kernel_pts_per_s", bench_msm_device),
+                         ("msm_device_tunnel_e2e_pts_per_s",
+                          lambda: bench_msm_device(kernel_only=False)),
                          ("msm_native_host_pts_per_s", bench_msm_native),
                          ("sumcheck_device_folds_per_s", bench_sumcheck_device),
                          ("e2e_prover_s_per_KB", bench_e2e_prover)]:
@@ -231,6 +267,8 @@ def main():
 
     perms = measure("poseidon_perms_per_s", bench_poseidon, 420)
     msm_native = measure("msm_native_pts_per_s", bench_msm_native, 120)
+    msm_dev = measure("msm_device_kernel_pts_per_s", bench_msm_device,
+                      420, tries=1)
     e2e = measure("e2e_prover_s_per_KB", bench_e2e_prover, 420, tries=1)
 
     out = {
@@ -240,6 +278,7 @@ def main():
         "vs_baseline": round(perms / NEPTUNE_CPU_PERMS_PER_S, 3),
         "extra": {
             "msm_native_host_pts_per_s": msm_native,
+            "msm_device_kernel_pts_per_s": msm_dev,
             "e2e_prover_s_per_KB": e2e,
             "baseline_note": ("vs_baseline divides by an ESTIMATED 2e5 "
                               "perm/s single-core neptune figure; the "

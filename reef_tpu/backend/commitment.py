@@ -149,12 +149,26 @@ def shared_blinding_gen(cv: Curve = PALLAS) -> Point:
     return _BLIND_H[cv.name]
 
 
+def _device_msm_on() -> bool:
+    """Opt-in device (TPU) MSM for Pedersen commits, mirroring the
+    REEF_DEVICE_SUMCHECK gate: through the tunneled axon platform the
+    per-call index-array upload (~3 MB/s) exceeds the native host MSM's
+    whole runtime, so this stays off by default; on a locally-attached
+    TPU set REEF_DEVICE_MSM=1 (see BENCHMARKS.md for both numbers)."""
+    import os
+    return os.environ.get("REEF_DEVICE_MSM", "0") == "1"
+
+
+DEVICE_MSM_MIN_N = 256          # below this the host MSM always wins
+
+
 class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
         self.G = _cached_gens(cv, label, n)
         self.H = shared_blinding_gen(cv)
         self._packed = None
+        self._device_basis = None
 
     def packed_G(self):
         """Native-packed basis for indexed MSMs (cached)."""
@@ -163,13 +177,29 @@ class PedersenGens:
             self._packed = pack_points(self.G)
         return self._packed
 
+    def device_G(self):
+        """Device-resident basis for the TPU Pippenger MSM (cached; one
+        upload per gens set — the production fold/commit shape)."""
+        if self._device_basis is None:
+            from ..ec.msm import pallas_kernels, vesta_kernels
+            from ..ec.msm_pippenger import DeviceBasis
+            ck = (pallas_kernels() if self.cv.name == "pallas"
+                  else vesta_kernels())
+            self._device_basis = DeviceBasis(ck, self.G)
+        return self._device_basis
+
     def commit(self, values: List[int], blind: int) -> Point:
         cv = self.cv
-        try:
-            from ..ec.native_msm import msm_packed
-            base = msm_packed(cv, list(values), self.packed_G())
-        except RuntimeError:
-            base = cv.msm(values, self.G[:len(values)])
+        if _device_msm_on() and len(values) >= DEVICE_MSM_MIN_N:
+            basis = self.device_G()
+            from ..ec.msm_pippenger import msm_device
+            base = msm_device(basis.ck, list(values), basis)
+        else:
+            try:
+                from ..ec.native_msm import msm_packed
+                base = msm_packed(cv, list(values), self.packed_G())
+            except RuntimeError:
+                base = cv.msm(values, self.G[:len(values)])
         return cv.add(cv.mul(blind, self.H), base)
 
 

@@ -134,10 +134,7 @@ class FoldAccumulator:
         self._az, self._bz, self._cz = self._vectors(W, 1, u.x)
 
     def _vectors(self, W, u, x):
-        z = self.shape.z_vector(W, u, x)
-        return (self.shape.matvec(self.shape.A, z),
-                self.shape.matvec(self.shape.B, z),
-                self.shape.matvec(self.shape.C, z))
+        return self.shape.matvecs(self.shape.z_vector(W, u, x))
 
     def fold(self, u2: StrictInstance, W2: List[int], blind2: int
              ) -> Point:

@@ -123,12 +123,24 @@ class R1CSShape:
             out[i] += v * z[j]
         return [o % self.f.p for o in out]
 
+    def matvecs(self, z: List[int]) -> Tuple[List[int], List[int],
+                                             List[int]]:
+        """(Az, Bz, Cz) with z packed ONCE for the native kernels (the
+        per-matvec repack was ~1 s/KB of host time)."""
+        from ..ops import native_fieldvec as FV
+        mats = FV.shape_mats(self)
+        if mats is not None:
+            zp = FV.PackedVec(FV.pack(z, self.f.p), len(z), self.f.p)
+            a, b, c = mats
+            return (a.matvec(zp, self.n_cons), b.matvec(zp, self.n_cons),
+                    c.matvec(zp, self.n_cons))
+        return (self.matvec(self.A, z), self.matvec(self.B, z),
+                self.matvec(self.C, z))
+
     def check_relaxed(self, W: List[int], E: List[int], u: int,
                       x: List[int]) -> bool:
         z = self.z_vector(W, u, x)
-        az = self.matvec(self.A, z)
-        bz = self.matvec(self.B, z)
-        cz = self.matvec(self.C, z)
+        az, bz, cz = self.matvecs(z)
         for i in range(self.n_cons):
             if (az[i] * bz[i] - u * cz[i] - E[i]) % self.f.p != 0:
                 return False
@@ -258,10 +270,7 @@ class FoldingProver:
         self._az = self._bz = self._cz = None
 
     def _vectors(self, W, u, x):
-        z = self.shape.z_vector(W, u, x)
-        return (self.shape.matvec(self.shape.A, z),
-                self.shape.matvec(self.shape.B, z),
-                self.shape.matvec(self.shape.C, z))
+        return self.shape.matvecs(self.shape.z_vector(W, u, x))
 
     def fold_step(self, wires: List[int]):
         """Absorb one strict (u=1) step instance from full circuit wires."""

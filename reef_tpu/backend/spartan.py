@@ -108,9 +108,10 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     m = 1 << ell_m
     z = shape.z_vector(Wit.W, U.u, U.x)
 
-    az = shape.matvec(shape.A, z) + [0] * (m - shape.n_cons)
-    bz = shape.matvec(shape.B, z) + [0] * (m - shape.n_cons)
-    cz = shape.matvec(shape.C, z) + [0] * (m - shape.n_cons)
+    az, bz, cz = shape.matvecs(z)
+    az = az + [0] * (m - shape.n_cons)
+    bz = bz + [0] * (m - shape.n_cons)
+    cz = cz + [0] * (m - shape.n_cons)
     e = list(Wit.E) + [0] * (m - shape.n_cons)
 
     tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]

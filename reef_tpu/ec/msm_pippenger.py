@@ -165,6 +165,109 @@ def window_prep(scalars: List[int], order_mod: int, n: int):
     return order, bnd_idx, bnd_mask
 
 
+def window_prep_v2(scalars: List[int], order_mod: int, n: int):
+    """Host prep for the tree+Fenwick kernel: per-window sort order plus,
+    for every (window, digit) boundary count m = #points with digit >= d,
+    the Fenwick decomposition of the prefix-sum over the first m sorted
+    points: node indices into the per-window flat tree-level array and a
+    per-level participation mask.
+
+    Tree levels: level 0 = the n sorted points, level b = pairwise sums
+    (width n >> b), concatenated at offsets off_b = 2n - (n >> (b-1))
+    ... i.e. off_0 = 0, off_{b} = off_{b-1} + (n >> (b-1)).  The prefix of
+    the first m elements = sum over set bits b of m of the level-b node at
+    index ((m >> (b+1)) << 1) | ... = (m_cleared >> b) where m_cleared
+    clears bits <= b."""
+    digs = _digits_np(scalars, order_mod)
+    D = (1 << WINDOW_C) - 1
+    LV = max(1, (n - 1).bit_length()) + 1          # levels 0..log2(n)
+    order = np.zeros((N_WINDOWS, n), np.int32)
+    counts_m = np.zeros((N_WINDOWS, D), np.int64)
+    for w in range(N_WINDOWS):
+        order[w] = np.argsort(-digs[w].astype(np.int32), kind="stable")
+        counts = np.bincount(digs[w], minlength=1 << WINDOW_C)
+        c_ge = np.cumsum(counts[::-1])[::-1]
+        counts_m[w] = c_ge[1:]                     # m for digits 1..D
+    # level offsets in the flat concatenated tree array
+    offs = np.zeros(LV, np.int64)
+    width = n
+    for b in range(1, LV):
+        offs[b] = offs[b - 1] + width
+        width //= 2
+    # digit axis padded 255 -> 256 (mask False) so every kernel batch is a
+    # multiple of 128 lanes — the Pallas per-mul dispatch requirement
+    Dp = D + 1
+    lv_idx = np.zeros((LV, N_WINDOWS, Dp), np.int32)
+    lv_mask = np.zeros((LV, N_WINDOWS, Dp), bool)
+    for b in range(LV):
+        bit = (counts_m >> b) & 1
+        lv_mask[b, :, :D] = bit.astype(bool)
+        cleared = (counts_m >> (b + 1)) << (b + 1)  # clear bits <= b
+        lv_idx[b, :, :D] = (offs[b] + (cleared >> b)).astype(np.int32)
+    return order, lv_idx, lv_mask
+
+
+def window_kernel_v2_fn(ck: CurveKernels, n: int):
+    """Tree+Fenwick window accumulation: per window, build the pairwise
+    sum tree over the digit-sorted points (n-1 adds, log n shrinking
+    batched levels), then assemble each of the D boundary prefix sums from
+    <= log n tree nodes (a lax.scan over stacked per-level gathers, one
+    padd body).  ~32n total padd lanes vs the prefix-scan kernel's ~147n."""
+    import jax
+    import jax.numpy as jnp
+
+    LV = max(1, (n - 1).bit_length()) + 1
+
+    def kernel(pts, order, lv_idx, lv_mask, ident):
+        # pts (n,3,N); order (W,n); lv_idx/lv_mask (LV,W,D)
+        sorted_pts = pts[order]                        # (W, n, 3, N)
+        W = order.shape[0]
+        D = lv_idx.shape[-1]
+        nl = sorted_pts.shape[-1]
+
+        levels = [sorted_pts]
+        cur = sorted_pts
+        while cur.shape[1] > 1:
+            cur = padd(ck, cur[:, 0::2], cur[:, 1::2])
+            levels.append(cur)
+        flat = jnp.concatenate(levels, axis=1)         # (W, 2n-1, 3, N)
+
+        def fenwick(acc, lvl):
+            idx, mask = lvl
+            gi = jnp.broadcast_to(idx[:, :, None, None], (W, D, 3, nl))
+            g = jnp.take_along_axis(flat, gi, axis=1)
+            summed = padd(ck, acc, g)
+            return jnp.where(mask[:, :, None, None], summed, acc), None
+
+        acc0 = jnp.broadcast_to(ident, (W, D, 3, nl))
+        acc, _ = jax.lax.scan(fenwick, acc0, (lv_idx, lv_mask))
+
+        # sum the D boundary prefixes per window (masked-halving scan);
+        # empty boundaries never passed a fenwick mask and stay identity
+        D2 = 1 << max(0, (D - 1).bit_length())
+        if D2 != D:
+            padc = jnp.broadcast_to(ident, (W, D2 - D, 3, nl))
+            acc = jnp.concatenate([acc, padc], axis=1)
+        pos = jnp.arange(D2)[None, :, None, None]
+
+        def halve(carry, shift):
+            shifted = jnp.roll(carry, -shift, axis=1)
+            summed = padd(ck, carry, shifted)
+            return jnp.where(pos < shift, summed, carry), None
+
+        shifts = jnp.asarray([D2 >> k for k in range(1, D2.bit_length())])
+        acc, _ = jax.lax.scan(halve, acc, shifts)
+        return acc[:, 0]                               # (W, 3, N)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _window_kernel_v2(ck: CurveKernels, n: int):
+    import jax
+    return jax.jit(window_kernel_v2_fn(ck, n))
+
+
 class DeviceBasis:
     """Device-resident fixed MSM basis.
 
@@ -232,10 +335,23 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
             n = n2
         pts_dev = jnp.asarray(np.asarray(points))
 
-    order, bnd_idx, bnd_mask = window_prep(scalars, ck.curve.order, n)
-    levels = max(1, (n - 1).bit_length())
-    kern = _window_kernel(ck, n, levels)
-    accs = np.asarray(kern(pts_dev, jnp.asarray(order),
-                           jnp.asarray(bnd_idx), jnp.asarray(bnd_mask),
-                           jnp.asarray(np.asarray(ck.ident))))
+    order, lv_idx, lv_mask = window_prep_v2(scalars, ck.curve.order, n)
+    kern = _window_kernel_v2(ck, n)
+    # On real TPU, route the padd field muls through the Pallas Montgomery
+    # kernel (the 539k perm/s Poseidon path); the digit axis is padded to
+    # 256 so every scan batch is a multiple of 128 lanes.  Enable/disable
+    # only affects tracing; the jitted kernel is cached per (ck, n).
+    import jax
+    use_pallas = jax.devices()[0].platform == "tpu"
+    if use_pallas:
+        from ..ops import pallas_field
+        pallas_field.enable(threshold=2048)
+    try:
+        accs = np.asarray(kern(pts_dev, jnp.asarray(order),
+                               jnp.asarray(lv_idx), jnp.asarray(lv_mask),
+                               jnp.asarray(np.asarray(ck.ident))))
+    finally:
+        if use_pallas:
+            from ..ops import pallas_field
+            pallas_field.disable()
     return combine_windows(ck, accs)

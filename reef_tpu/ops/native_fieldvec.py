@@ -84,6 +84,8 @@ def available() -> bool:
 # ---------------------------------------------------------------------------
 
 def pack(vals: Sequence[int], p: int) -> bytes:
+    if isinstance(vals, PackedVec) and vals.p == p:
+        return vals.raw
     return b"".join((v % p).to_bytes(32, "little") for v in vals)
 
 
@@ -91,6 +93,55 @@ def unpack(buf, n: int) -> List[int]:
     mv = bytes(buf)
     return [int.from_bytes(mv[32 * i:32 * i + 32], "little")
             for i in range(n)]
+
+
+class PackedVec:
+    """Canonical-form packed field vector (32 B little-endian / element).
+
+    The native vector ops return these so CHAINED calls (matvec ->
+    cross_term -> fold_vec, fold after fold) skip the int<->bytes
+    round-trip that dominated the host profile (~3 s / 1 KB prove in
+    int.to_bytes alone).  Quacks like a read-only list of ints:
+    iteration / indexing / len materialize (and cache) the int list
+    lazily, so exit points (commit MSMs, spartan padding, transcripts)
+    need no changes."""
+
+    __slots__ = ("raw", "n", "p", "_ints")
+
+    def __init__(self, raw: bytes, n: int, p: int):
+        self.raw = raw
+        self.n = n
+        self.p = p
+        self._ints = None
+
+    def ints(self) -> List[int]:
+        if self._ints is None:
+            self._ints = unpack(self.raw, self.n)
+        return self._ints
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __iter__(self):
+        return iter(self.ints())
+
+    def __getitem__(self, i):
+        return self.ints()[i]
+
+    def __add__(self, other):                 # list-style concatenation
+        return self.ints() + list(other)
+
+    def __radd__(self, other):
+        return list(other) + self.ints()
+
+    def __eq__(self, other):
+        if isinstance(other, PackedVec):
+            return self.p == other.p and self.raw == other.raw
+        if isinstance(other, (list, tuple)):
+            return self.ints() == list(other)
+        return NotImplemented
+
+    __hash__ = None
 
 
 def _c_i64(arr: Sequence[int]):
@@ -121,7 +172,7 @@ def fold_vec(a: Sequence[int], b: Sequence[int], r: int, p: int
     rb = pack([r], p)
     out = ctypes.create_string_buffer(32 * n)
     lib.fv_fold(out, ab, bb, rb, n, fid)
-    return unpack(out.raw, n)
+    return PackedVec(out.raw, n, p)
 
 
 def cross_term(az1, bz1, cz1, az2, bz2, cz2, u1: int, p: int) -> List[int]:
@@ -132,7 +183,7 @@ def cross_term(az1, bz1, cz1, az2, bz2, cz2, u1: int, p: int) -> List[int]:
     ub = pack([u1], p)
     out = ctypes.create_string_buffer(32 * n)
     lib.fv_cross(out, *bufs, ub, n, fid)
-    return unpack(out.raw, n)
+    return PackedVec(out.raw, n, p)
 
 
 class SparseMat:
@@ -147,13 +198,13 @@ class SparseMat:
         self.vals_m = to_mont([t[2] for t in coo], p)
         self.max_col = max((t[1] for t in coo), default=0)
 
-    def matvec(self, z: Sequence[int], n_out: int) -> List[int]:
+    def matvec(self, z: Sequence[int], n_out: int) -> "PackedVec":
         lib = _load()
         zb = pack(z, self.p)
         out = ctypes.create_string_buffer(32 * n_out)
         lib.fv_matvec(out, self.rows, self.cols, self.vals_m, self.nnz,
                       zb, len(z), n_out, self.fid)
-        return unpack(out.raw, n_out)
+        return PackedVec(out.raw, n_out, self.p)
 
     def mtab_accum(self, mtab_m: ctypes.Array, eq_rx_m: bytes, coeff: int):
         """mtab[col] += coeff * val * eq_rx[row]  (Montgomery in-place)."""
