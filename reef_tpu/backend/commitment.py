@@ -69,12 +69,22 @@ class Transcript:
 # Pedersen
 # ---------------------------------------------------------------------------
 
+_GENS_MEM: dict = {}
+
+
 def _cached_gens(cv: Curve, label: bytes, n: int):
     """Disk-cached deterministic generator derivation (try-and-increment
     hash-to-curve costs ~2ms/point; suites re-derive thousands per
     process otherwise).
 
-    The cache holds a PLAIN INTEGER encoding (64 bytes/point, no pickle —
+    Derivation is per-index, so gens(label, m) is a PREFIX of
+    gens(label, n) for m < n: the cache is keyed by label only and holds
+    the longest set derived so far — a smaller request slices it, a
+    larger one derives and appends just the missing tail.  An in-memory
+    layer sits on top (committers for every proof structure share one
+    basis per curve; see VectorCommitter).
+
+    The file holds a PLAIN INTEGER encoding (64 bytes/point, no pickle —
     a pickle cache was a code-execution surface) plus a whole-file sha256.
     On load every point is checked on-curve and a fixed subset is
     re-derived from the label and compared; any mismatch falls back to the
@@ -86,54 +96,60 @@ def _cached_gens(cv: Curve, label: bytes, n: int):
     cache.)"""
     import os
 
+    mkey = (cv.name, label)
+    mem = _GENS_MEM.get(mkey)
+    if mem is not None and len(mem) >= n:
+        return mem[:n]
+
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "reef_tpu")
     key = hashlib.sha256(cv.name.encode() + b"/" + label
-                         + b"/%d" % n).hexdigest()[:24]
+                         ).hexdigest()[:24]
     path = os.path.join(cache_dir, f"gens_{key}.bin")
 
-    def spot_indices():
-        idx = {0, n - 1, n // 2, n // 3}
-        return sorted(i for i in idx if 0 <= i < n)
-
+    pts: List[Point] = []
     try:
         with open(path, "rb") as fh:
             raw = fh.read()
         body, chk = raw[:-32], raw[-32:]
-        if (hashlib.sha256(body).digest() == chk
-                and len(body) == 64 * n):
-            pts = []
+        cnt = len(body) // 64
+        if hashlib.sha256(body).digest() == chk and len(body) == 64 * cnt:
+            cand = []
             ok = True
-            for i in range(n):
+            for i in range(cnt):
                 x = int.from_bytes(body[64 * i:64 * i + 32], "big")
                 y = int.from_bytes(body[64 * i + 32:64 * i + 64], "big")
                 pt = (x, y)
                 if x >= cv.p or y >= cv.p or not cv.on_curve(pt):
                     ok = False
                     break
-                pts.append(pt)
-            if ok:
-                for i in spot_indices():
+                cand.append(pt)
+            if ok and cnt:
+                for i in sorted({0, cnt - 1, cnt // 2, cnt // 3}):
                     expect = cv.hash_to_curve(label + b"/"
                                               + i.to_bytes(8, "big"))
-                    if pts[i] != expect:
+                    if cand[i] != expect:
                         ok = False
                         break
             if ok:
-                return pts
+                pts = cand
     except Exception:
-        pass
-    pts = cv.gens(label, n)
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        body = b"".join(x.to_bytes(32, "big") + y.to_bytes(32, "big")
-                        for (x, y) in pts)
-        tmp = path + ".tmp.%d" % os.getpid()
-        with open(tmp, "wb") as fh:
-            fh.write(body + hashlib.sha256(body).digest())
-        os.replace(tmp, path)
-    except Exception:
-        pass
-    return pts
+        pts = []
+
+    if len(pts) < n:
+        pts = pts + [cv.hash_to_curve(label + b"/" + i.to_bytes(8, "big"))
+                     for i in range(len(pts), n)]
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            body = b"".join(x.to_bytes(32, "big") + y.to_bytes(32, "big")
+                            for (x, y) in pts)
+            tmp = path + ".tmp.%d" % os.getpid()
+            with open(tmp, "wb") as fh:
+                fh.write(body + hashlib.sha256(body).digest())
+            os.replace(tmp, path)
+        except Exception:
+            pass
+    _GENS_MEM[mkey] = pts
+    return pts[:n]
 
 
 _BLIND_H: dict = {}

@@ -109,8 +109,8 @@ def _cap_setup():
     if "x" not in _CAP_CACHE:
         circ = consistency_circuit()
         shape = R1CSShape(circ, ["d"])
-        wc = VectorCommitter(b"cap_w", shape.w_pad)
-        ec = VectorCommitter(b"cap_e", shape.n_cons)
+        wc = VectorCommitter(shape.w_pad)
+        ec = VectorCommitter(shape.n_cons)
         _CAP_CACHE["x"] = (circ, shape, wc, ec)
     return _CAP_CACHE["x"]
 
@@ -217,8 +217,8 @@ def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
                               merkle_commitment=mc)
         aug = AugmentedPrimary(circuit)
         shape = R1CSShape(aug.compiled, aug.io_names)
-        wc = VectorCommitter(b"reef_w", shape.w_pad)
-        ec = VectorCommitter(b"reef_e", shape.n_cons)
+        wc = VectorCommitter(shape.w_pad)
+        ec = VectorCommitter(shape.n_cons)
         if len(_CIRCUIT_CACHE) > 8:
             _CIRCUIT_CACHE.clear()
         _CIRCUIT_CACHE[key] = (circuit, aug, shape, wc, ec)

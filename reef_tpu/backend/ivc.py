@@ -194,8 +194,8 @@ def secondary_parts():
     if "x" not in _SECONDARY_CACHE:
         sec = SecondaryCircuit()
         shape2 = R1CSShape(sec.compiled, sec.io_names)
-        wc2 = VectorCommitter(b"ivc_w2", shape2.w_pad, curve=VESTA)
-        ec2 = VectorCommitter(b"ivc_e2", shape2.n_cons, curve=VESTA)
+        wc2 = VectorCommitter(shape2.w_pad, curve=VESTA)
+        ec2 = VectorCommitter(shape2.n_cons, curve=VESTA)
         _SECONDARY_CACHE["x"] = (sec, shape2, wc2, ec2)
     return _SECONDARY_CACHE["x"]
 

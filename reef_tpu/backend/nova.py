@@ -158,12 +158,21 @@ class R1CSShape:
 # ---------------------------------------------------------------------------
 
 class VectorCommitter:
-    def __init__(self, label: bytes, n: int, curve: "Curve" = None):
+    """Pedersen vector commitments over the per-curve SHARED basis.
+
+    All committers on one curve slice one generator set (label "reef/g"),
+    mirroring nova-snark's single CommitmentKey: W and E of a proof (and
+    the CAP witness) commit over prefixes of the same basis, which is
+    what lets spartan_prove batch the W/E openings into ONE IPA over
+    E + delta*W (a cross-basis combination would not be homomorphic).
+    Binding is per-basis and unaffected by the sharing."""
+
+    def __init__(self, n: int, curve: "Curve" = None):
         from .commitment import PedersenGens
         self.cv = curve if curve is not None else cv
         self.n = next_power_of_two(max(n, 2))
         self.n_vars = logmn(self.n)
-        self.gens = PedersenGens(self.cv, label + b"/pv", self.n)
+        self.gens = PedersenGens(self.cv, b"reef/g/pv", self.n)
 
     def commit(self, vec: List[int], blind: Optional[int] = None):
         """-> (commitment Point, blind scalar)."""

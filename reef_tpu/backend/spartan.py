@@ -15,6 +15,12 @@ sumcheck + Hyrax primitives:
   commitments are a later upgrade), and vz splits as
       vz = (1-ry0) * W~(ry[1:]) + ry0 * P~(ry[1:])
   with P = (u, x, 0...) public and W~ proven against the folded W commitment.
+  sumcheck 3 (batched opening, quadratic rounds), challenge gamma:
+      vE + gamma*vW = sum_b eq(rx,b)*E(b) + gamma*eq(ry[1:],b)*W(b)
+  moves both eval claims to one random point rho; with challenge delta the
+  polynomials combine homomorphically over the SHARED per-curve basis
+  (VectorCommitter) into E + delta*W, opened with ONE IPA — the nova
+  fork's ipa_pc batched-evaluation shape, halving compress MSM work.
 
 Round evaluations are sent as value lists [g(0)..g(d)]; the verifier
 Lagrange-interpolates g(r).  Claimed evaluation values are public (matching
@@ -81,10 +87,12 @@ class SpartanProof:
     vB: int
     vC: int
     vE: int
-    eval_E: SigmaEvalProof
     sc2: List[List[int]]          # per-round [g(0)..g(2)]
     vW: int
-    eval_W: SigmaEvalProof
+    sc3: List[List[int]]          # batched-opening reduction [g(0)..g(2)]
+    vE2: int                      # E~(rho)
+    vW2: int                      # W~(rho)
+    eval: SigmaEvalProof          # ONE IPA: (E + delta*W) opened at rho
 
 
 def _absorb_instance(t: Transcript, shape: R1CSShape, U: RelaxedInstance,
@@ -166,15 +174,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             e = _fold_table(e, r, p)
         vA, vB, vC, vE = az[0], bz[0], cz[0], e[0]
     t.append(b"claims", [vA, vB, vC, vE])
-
-    # eval proof for E at rx: direct log-round IPA against the single-point
-    # commitment (R = full eq vector at rx)
-    e_pad = list(Wit.E) + [0] * (ec.n - shape.n_cons)
     G_s = shared_scalar_gens(cv).G[0]
-    R_E = eq_evals(f, rx)
-    C_vE = shared_scalar_gens(cv).commit([vE], 0)
-    eval_E = ipa_prove(ec.gens, G_s, e_pad, Wit.E_blind, R_E, vE, 0,
-                       U.comm_E, C_vE, Transcript(b"spartan_E"))
 
     # ---- sumcheck 2 ---------------------------------------------------
     rr = t.challenge(b"rr", p)
@@ -234,12 +234,91 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
         from .sumcheck import verifier_mle_eval
         vW = verifier_mle_eval(f, w_pad, ry[1:])
     t.append(b"vW", vW)
-    R_W = eq_evals(f, ry[1:])
-    C_vW = shared_scalar_gens(cv).commit([vW], 0)
-    eval_W = ipa_prove(wc.gens, G_s, w_pad, Wit.W_blind, R_W, vW, 0,
-                       U.comm_W, C_vW, Transcript(b"spartan_W"))
 
-    return SpartanProof(sc1, vA, vB, vC, vE, eval_E, sc2, vW, eval_W)
+    # ---- batched opening ----------------------------------------------
+    # The E claim (at rx, over ec's 2^ell_m-slot table) and the W claim
+    # (at ry[1:], over wc's 2^(ell_z-1)-slot table) reduce to ONE opening:
+    # a degree-2 sumcheck over g(b) = eqE(b)*E(b) + gamma*eqW(b)*W(b)
+    # moves both claims to a common random point rho, where the two
+    # polynomials combine homomorphically (shared basis, VectorCommitter)
+    # into E + delta*W — one IPA instead of two.  This is the nova fork's
+    # ipa_pc batched-evaluation shape; it halves the compress-stage MSM
+    # work (the prover's hottest host loop).
+    gamma = t.challenge(b"gamma", p)
+    n_max = max(ec.n, wc.n)
+    ell_max = logmn(n_max)
+    e_full = list(Wit.E) + [0] * (n_max - shape.n_cons)
+    w_full = list(Wit.W) + [0] * (n_max - len(Wit.W))
+    # zero-padding points in FRONT of the eval point selects the original
+    # table inside the 2^ell_max-slot zero-extension (eq_evals is
+    # MSB-first: high zero bits pin the extra coordinates to 0)
+    rx_pad = [0] * (ell_max - ell_m) + rx
+    ry_pad = [0] * (ell_max - (ell_z - 1)) + ry[1:]
+    claim3 = (vE + gamma * vW) % p
+    sc3 = []
+    rho: List[int] = []
+    if native:
+        eqE_m = FV.eq_evals_mont(rx_pad, p)
+        eqW_m = FV.eq_evals_mont(ry_pad, p)
+        e_m = FV.MontTable(e_full, p)
+        w_m = FV.MontTable(w_full, p)
+        for rnd in range(ell_max):
+            ev_e = FV.sc2_evals(eqE_m, e_m, p)
+            ev_w = FV.sc2_evals(eqW_m, w_m, p)
+            evals = [(a + gamma * b) % p for a, b in zip(ev_e, ev_w)]
+            assert (evals[0] + evals[1]) % p == claim3 % p
+            t.append(b"sc3", evals)
+            r = t.challenge(b"sc3_r", p)
+            rho.append(r)
+            claim3 = _lagrange(evals, r, p)
+            sc3.append(evals)
+            for tab in (eqE_m, e_m, eqW_m, w_m):
+                tab.fold(r)
+        vE2, vW2 = e_m.first(), w_m.first()
+    else:
+        eqE = eq_evals(f, rx_pad)
+        eqW = eq_evals(f, ry_pad)
+        et, wt = list(e_full), list(w_full)
+        for rnd in range(ell_max):
+            half = len(et) // 2
+            evals = []
+            for tv in range(3):
+                s = 0
+                for b in range(half):
+                    s += (_eval_at(eqE, b, half, tv, p)
+                          * _eval_at(et, b, half, tv, p)
+                          + gamma * _eval_at(eqW, b, half, tv, p)
+                          * _eval_at(wt, b, half, tv, p))
+                evals.append(s % p)
+            assert (evals[0] + evals[1]) % p == claim3 % p
+            t.append(b"sc3", evals)
+            r = t.challenge(b"sc3_r", p)
+            rho.append(r)
+            claim3 = _lagrange(evals, r, p)
+            sc3.append(evals)
+            eqE = _fold_table(eqE, r, p)
+            eqW = _fold_table(eqW, r, p)
+            et = _fold_table(et, r, p)
+            wt = _fold_table(wt, r, p)
+        vE2, vW2 = et[0], wt[0]
+    t.append(b"vv", [vE2, vW2])
+    delta = t.challenge(b"delta", p)
+
+    if native:
+        comb = FV.fold_vec(e_full, w_full, delta, p)
+    else:
+        comb = [(a + delta * b) % p for a, b in zip(e_full, w_full)]
+    blind_c = (Wit.E_blind + delta * Wit.W_blind) % p
+    C_comb = cv.add(U.comm_E, cv.mul(delta, U.comm_W))
+    v_comb = (vE2 + delta * vW2) % p
+    C_v3 = shared_scalar_gens(cv).commit([v_comb], 0)
+    big = wc if wc.n >= ec.n else ec
+    eval_p = ipa_prove(big.gens, G_s, comb, blind_c, eq_evals(f, rho),
+                       v_comb, 0, C_comb, C_v3,
+                       Transcript(b"spartan_batch"))
+
+    return SpartanProof(sc1, vA, vB, vC, vE, sc2, vW, sc3, vE2, vW2,
+                        eval_p)
 
 
 def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
@@ -274,13 +353,7 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     if claim != eq_tau_rx * ((vA * vB - U.u * vC - vE) % p) % p:
         return False
     t.append(b"claims", [vA, vB, vC, vE])
-
-    # E eval proof
     G_s = shared_scalar_gens(cv).G[0]
-    vE_commit = shared_scalar_gens(cv).commit([vE], 0)
-    if not ipa_verify(ec.gens, G_s, eq_evals(f, rx), U.comm_E, vE_commit,
-                      proof.eval_E, Transcript(b"spartan_E")):
-        return False
 
     rr = t.challenge(b"rr", p)
     claim2 = (vA + rr * vB + rr * rr % p * vC) % p
@@ -325,6 +398,39 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
         return False
 
     t.append(b"vW", proof.vW)
-    vW_commit = shared_scalar_gens(cv).commit([proof.vW], 0)
-    return ipa_verify(wc.gens, G_s, eq_evals(f, ry[1:]), U.comm_W,
-                      vW_commit, proof.eval_W, Transcript(b"spartan_W"))
+
+    # ---- batched opening ----------------------------------------------
+    gamma = t.challenge(b"gamma", p)
+    n_max = max(ec.n, wc.n)
+    ell_max = logmn(n_max)
+    claim3 = (proof.vE + gamma * proof.vW) % p
+    rho: List[int] = []
+    for evals in proof.sc3:
+        if len(evals) != 3 or (evals[0] + evals[1]) % p != claim3 % p:
+            return False
+        t.append(b"sc3", evals)
+        r = t.challenge(b"sc3_r", p)
+        rho.append(r)
+        claim3 = _lagrange(evals, r, p)
+    if len(rho) != ell_max:
+        return False
+
+    rx_pad = [0] * (ell_max - ell_m) + rx
+    ry_pad = [0] * (ell_max - (ell_z - 1)) + ry[1:]
+    eqE_f = 1
+    eqW_f = 1
+    for a, b in zip(rx_pad, rho):
+        eqE_f = eqE_f * ((a * b + (1 - a) * (1 - b)) % p) % p
+    for a, b in zip(ry_pad, rho):
+        eqW_f = eqW_f * ((a * b + (1 - a) * (1 - b)) % p) % p
+    if claim3 != (eqE_f * proof.vE2 + gamma * eqW_f * proof.vW2) % p:
+        return False
+    t.append(b"vv", [proof.vE2, proof.vW2])
+    delta = t.challenge(b"delta", p)
+
+    C_comb = cv.add(U.comm_E, cv.mul(delta, U.comm_W))
+    v_comb = (proof.vE2 + delta * proof.vW2) % p
+    C_v3 = shared_scalar_gens(cv).commit([v_comb], 0)
+    big = wc if wc.n >= ec.n else ec
+    return ipa_verify(big.gens, G_s, eq_evals(f, rho), C_comb, C_v3,
+                      proof.eval, Transcript(b"spartan_batch"))

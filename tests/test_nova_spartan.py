@@ -34,8 +34,8 @@ def tiny_circuit():
 def make_chain(n_steps):
     circ = tiny_circuit()
     shape = R1CSShape(circ, ["x_in", "x_out"])
-    wc = VectorCommitter(b"test_w", shape.w_pad)
-    ec = VectorCommitter(b"test_e", shape.n_cons)
+    wc = VectorCommitter(shape.w_pad)
+    ec = VectorCommitter(shape.n_cons)
     prover = FoldingProver(shape, wc, ec)
     x = 3
     for i in range(n_steps):
