@@ -181,11 +181,26 @@ class OpenSet:
         return OpenSet(out)
 
     def times(self, n: int) -> "OpenSet":
+        """n-fold Minkowski sum.  Closed form for a single range (the sum
+        of n copies of an interval is an interval); binary doubling
+        (O(log n) sums) otherwise — the naive n-iteration loop made
+        `.{976}`-scale DNA skips an O(doc) frontend cost."""
         if self.is_empty():
             return _EMPTY
+        if n == 0:
+            return OpenSet.nil()
+        if len(self.ranges) == 1:
+            s, e = self.ranges[0]
+            return OpenSet([(s * n, None if e is None else e * n)])
         r = OpenSet.nil()
-        for _ in range(n):
-            r = r.app(self)
+        base = self
+        m = n
+        while m:
+            if m & 1:
+                r = r.app(base)
+            m >>= 1
+            if m:
+                base = base.app(base)
         return r
 
     def repeat(self, i: int, j: int) -> "OpenSet":
@@ -195,9 +210,11 @@ class OpenSet:
             return _EMPTY
         if i == j:
             return self.times(i)
-        acc = _EMPTY
-        for x in range(i, j + 1):
-            acc = acc.union(self.times(x))
+        t = self.times(i)
+        acc = t
+        for _ in range(i, j):
+            t = t.app(self)
+            acc = acc.union(t)
         return acc
 
     # -- iteration ---------------------------------------------------------

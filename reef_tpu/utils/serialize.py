@@ -33,7 +33,7 @@ from typing import Any, Dict, List, Tuple
 from ..errors import DecodeError
 
 MAGIC = b"REEFTPU1"
-VERSION = 2
+VERSION = 3
 MAX_DEPTH = 24
 MAX_INT_BYTES = 64
 
@@ -94,6 +94,33 @@ def _w_varint(out: io.BytesIO, n: int):
             return
 
 
+def _pack_ints(obj):
+    """(width, raw) for a homogeneous non-negative int list, else None.
+
+    Long int vectors (the 2^20-slot doc MLE, eq tables) dominated artifact
+    encode/decode at ~2us/element through the per-element tag path; the
+    packed form is fixed-width little-endian with numpy bulk conversion
+    for word-aligned widths.  Width is minimal for the maximum element
+    (enforced on decode), keeping the encoding canonical."""
+    mx = 0
+    for x in obj:
+        if type(x) is not int or x < 0:
+            return None
+        if x > mx:
+            mx = x
+    width = max(1, (mx.bit_length() + 7) // 8)
+    if width > MAX_INT_BYTES // 2:
+        return None
+    if width in (1, 2, 4, 8):
+        import numpy as np
+        dt = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}[width]
+        raw = np.asarray(list(obj) if isinstance(obj, tuple) else obj,
+                         dtype=dt).tobytes()
+    else:
+        raw = b"".join(x.to_bytes(width, "little") for x in obj)
+    return width, raw
+
+
 def _encode(out: io.BytesIO, obj: Any, depth: int = 0):
     assert depth < MAX_DEPTH, "artifact structure too deep"
     if obj is None:
@@ -119,16 +146,20 @@ def _encode(out: io.BytesIO, obj: Any, depth: int = 0):
         out.write(b"\x05")
         _w_varint(out, len(raw))
         out.write(raw)
-    elif isinstance(obj, list):
-        out.write(b"\x06")
-        _w_varint(out, len(obj))
-        for it in obj:
-            _encode(out, it, depth + 1)
-    elif isinstance(obj, tuple):
-        out.write(b"\x07")
-        _w_varint(out, len(obj))
-        for it in obj:
-            _encode(out, it, depth + 1)
+    elif isinstance(obj, (list, tuple)):
+        packed = _pack_ints(obj) if len(obj) >= 64 else None
+        if packed is not None:
+            width, raw = packed
+            out.write(b"\x09")
+            out.write(b"\x01" if isinstance(obj, tuple) else b"\x00")
+            _w_varint(out, width)
+            _w_varint(out, len(obj))
+            out.write(raw)
+        else:
+            out.write(b"\x07" if isinstance(obj, tuple) else b"\x06")
+            _w_varint(out, len(obj))
+            for it in obj:
+                _encode(out, it, depth + 1)
     else:
         name = type(obj).__name__
         reg = _registry()
@@ -213,6 +244,31 @@ def _decode(r: _Reader, depth: int = 0) -> Any:
             raise DecodeError("list count exceeds payload")
         items = [_decode(r, depth + 1) for _ in range(count)]
         return items if tag == 0x06 else tuple(items)
+    if tag == 0x09:
+        kindb = r.byte()
+        if kindb not in (0, 1):
+            raise DecodeError("bad packed-list kind byte")
+        width = r.varint()
+        if not 1 <= width <= MAX_INT_BYTES // 2:
+            raise DecodeError("bad packed-list width")
+        count = r.varint()
+        if count * width > r.remaining():
+            raise DecodeError("packed list exceeds payload")
+        raw = r.take(count * width)
+        if width > 1 and count:
+            # canonical width: some element must use the top byte
+            if not any(raw[i * width + width - 1]
+                       for i in range(count)):
+                raise DecodeError("non-canonical packed-list width")
+        if width in (1, 2, 4, 8):
+            import numpy as np
+            dt = {1: np.uint8, 2: np.uint16, 4: np.uint32,
+                  8: np.uint64}[width]
+            items = np.frombuffer(raw, dtype=dt).tolist()
+        else:
+            items = [int.from_bytes(raw[i * width:(i + 1) * width],
+                                    "little") for i in range(count)]
+        return tuple(items) if kindb else items
     if tag == 0x08:
         name = _decode(r, depth + 1)
         if not isinstance(name, str):
