@@ -156,7 +156,9 @@ def bench_sumcheck_device(ell=10, iters=5):
 
 
 def bench_e2e_prover(doc_kb=1):
-    """End-to-end CLI prove on an ascii doc; returns seconds per KB."""
+    """End-to-end CLI prove on an ascii doc; returns seconds per KB.
+    At 1KB this is dominated by the FIXED e2e cost (setup + compress);
+    see bench_e2e_dna for the scaling story."""
     import os
     import subprocess
     import tempfile
@@ -174,6 +176,31 @@ def bench_e2e_prover(doc_kb=1):
              "-d", doc, "-r", "hello.*", "-b", "4"],
             cwd=d, env=env, check=True, capture_output=True)
         return (time.time() - t0) / doc_kb
+
+
+def bench_e2e_dna(n=1_000_000):
+    """The reference's headline workload (dna.sh, BRCA-scale 1MB doc with
+    a giant skip): full CLI commit+prove+verify seconds."""
+    import os
+    import random
+    import subprocess
+    import tempfile
+
+    motif = "ATGGGCTACAGAAACCGTGCCAAA"
+    rng = random.Random(42)
+    body = "".join(rng.choice("ACGT") for _ in range(n - len(motif)))
+    with tempfile.TemporaryDirectory() as d:
+        doc = os.path.join(d, "dna.txt")
+        with open(doc, "w") as fh:
+            fh.write(body + motif)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, "-m", "reef_tpu.cli", "dna", "--e2e",
+             "-d", doc, "-r", f"^.{{{n - len(motif)}}}{motif}.*", "-b", "0"],
+            cwd=d, env=env, check=True, capture_output=True)
+        return time.time() - t0
 
 
 CACHE_PATH = __file__.rsplit("/", 1)[0] + "/.bench_cache.json"
@@ -236,7 +263,8 @@ def main():
                           lambda: bench_msm_device(kernel_only=False)),
                          ("msm_native_host_pts_per_s", bench_msm_native),
                          ("sumcheck_device_folds_per_s", bench_sumcheck_device),
-                         ("e2e_prover_s_per_KB", bench_e2e_prover)]:
+                         ("e2e_prover_s_per_KB", bench_e2e_prover),
+                         ("e2e_dna_1mb_s", bench_e2e_dna)]:
             try:
                 t0 = time.time()
                 results[name] = round(fn(), 2)
@@ -270,6 +298,7 @@ def main():
     msm_dev = measure("msm_device_kernel_pts_per_s", bench_msm_device,
                       420, tries=1)
     e2e = measure("e2e_prover_s_per_KB", bench_e2e_prover, 420, tries=1)
+    dna = measure("e2e_dna_1mb_s", bench_e2e_dna, 420, tries=1)
 
     out = {
         "metric": "poseidon_permutations_per_s_per_chip",
@@ -280,6 +309,7 @@ def main():
             "msm_native_host_pts_per_s": msm_native,
             "msm_device_kernel_pts_per_s": msm_dev,
             "e2e_prover_s_per_KB": e2e,
+            "e2e_dna_1mb_s": dna,
             "baseline_note": ("vs_baseline divides by an ESTIMATED 2e5 "
                               "perm/s single-core neptune figure; the "
                               "reference publishes no in-repo numbers "
