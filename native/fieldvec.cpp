@@ -487,6 +487,98 @@ void fv_bilinear(uint8_t* out, const i64* rows, const i64* cols,
 }
 
 // dot product <a, b> (standard domain in/out)
+// --------------------------------------------------------------------------
+// Witness-program interpreter (backend/r1cs.py CompiledCircuit.witness).
+//
+// z is an array of 32-byte little-endian STANDARD-form field elements.  LC
+// coefficients arrive in MONTGOMERY form, so mont_mul(coeff_m, z_std) yields
+// the standard-form product directly; only the MUL op pays one extra
+// to_mont.  Ops are i64 quads {kind, out, a, b}:
+//   0 LC   : z[out] = <lc[a], z>
+//   1 MUL  : z[out] = <lc[a], z> * <lc[b], z>
+//   2 BIT  : z[out] = (<lc[a], z> >> b) & 1
+//   3 INV0 : z[out] = <lc[a], z>^-1  (0 if zero)
+//   4 EQ0  : z[out] = (<lc[a], z> == 0) ? 1 : 0
+// --------------------------------------------------------------------------
+
+namespace {
+
+void fe_pow_p_minus_2(const Field& f, Fe& o, const Fe& base_std) {
+  // Fermat inverse on a standard-form input; returns standard form.
+  Fe b_m;
+  f.to_mont(b_m, base_std);
+  // exponent p - 2
+  u64 e[4];
+  memcpy(e, f.p, 32);
+  if (e[0] >= 2) {
+    e[0] -= 2;
+  } else {
+    e[0] -= 2;  // wraps
+    int k = 1;
+    while (e[k] == 0) e[k++] -= 1;
+    e[k] -= 1;
+  }
+  Fe acc;
+  memcpy(acc.v, f.one_m, 32);
+  for (int bit = 254; bit >= 0; bit--) {
+    f.mul(acc, acc, acc);
+    if ((e[bit >> 6] >> (bit & 63)) & 1) f.mul(acc, acc, b_m);
+  }
+  f.from_mont(o, acc);
+}
+
+inline void lc_eval(const Field& f, const uint8_t* z, const i64* cols,
+                    const uint8_t* coeff_m, i64 lo, i64 hi, Fe& o) {
+  Fe acc = {{0, 0, 0, 0}};
+  Fe c, zv, t;
+  for (i64 k = lo; k < hi; k++) {
+    load(c, coeff_m + 32 * k);
+    load(zv, z + 32 * cols[k]);
+    f.mul(t, c, zv);
+    f.add(acc, acc, t);
+  }
+  o = acc;
+}
+
+}  // namespace
+
+void fv_witness(uint8_t* z, const i64* lc_off, const i64* lc_cols,
+                const uint8_t* lc_coeff_m, const i64* ops, i64 n_ops,
+                int field) {
+  const Field& f = F(field);
+  for (i64 i = 0; i < n_ops; i++) {
+    i64 kind = ops[4 * i], out = ops[4 * i + 1];
+    i64 a = ops[4 * i + 2], b = ops[4 * i + 3];
+    Fe va;
+    lc_eval(f, z, lc_cols, lc_coeff_m, lc_off[a], lc_off[a + 1], va);
+    Fe r = {{0, 0, 0, 0}};
+    switch (kind) {
+      case 0:
+        r = va;
+        break;
+      case 1: {
+        Fe vb, am;
+        lc_eval(f, z, lc_cols, lc_coeff_m, lc_off[b], lc_off[b + 1], vb);
+        f.to_mont(am, va);
+        f.mul(r, am, vb);
+        break;
+      }
+      case 2:
+        r.v[0] = (va.v[b >> 6] >> (b & 63)) & 1;
+        break;
+      case 3: {
+        bool zero = !(va.v[0] | va.v[1] | va.v[2] | va.v[3]);
+        if (!zero) fe_pow_p_minus_2(f, r, va);
+        break;
+      }
+      case 4:
+        r.v[0] = (va.v[0] | va.v[1] | va.v[2] | va.v[3]) ? 0 : 1;
+        break;
+    }
+    store(z + 32 * out, r);
+  }
+}
+
 void fv_dot(uint8_t* out, const uint8_t* a, const uint8_t* b, i64 n,
             int field) {
   const Field& f = F(field);

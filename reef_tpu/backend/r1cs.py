@@ -62,8 +62,12 @@ class ConstraintSystem:
         self.names: Dict[str, int] = {}
         self.input_names: List[str] = []
         self.constraints: List[Tuple[LC, LC, LC]] = []
-        # ordered witness computers: (var_idx, fn(assignment_list) -> int)
-        self.computers: List[Tuple[int, Callable]] = []
+        # ordered witness computers: (var_idx, fn(assignment_list) -> int,
+        # op) where op is an optional structured descriptor the native
+        # witness interpreter can execute (("lc", lc) / ("mul", a, b) /
+        # ("bit", x, j) / ("inv0", a) / ("eq0", a)); op=None falls back to
+        # the python closure.
+        self.computers: List[Tuple[int, Callable, object]] = []
 
     # -- variables ---------------------------------------------------------
 
@@ -76,13 +80,14 @@ class ConstraintSystem:
         self.input_names.append(name)
         return {idx: 1}
 
-    def aux(self, name: str, compute: Callable) -> LC:
-        """New auxiliary wire with a compute closure fn(z)->value."""
+    def aux(self, name: str, compute: Callable, op=None) -> LC:
+        """New auxiliary wire with a compute closure fn(z)->value; `op` is
+        the optional native-interpreter descriptor (see computers)."""
         idx = self.n_vars
         self.n_vars += 1
         if name:
             self.names.setdefault(name, idx)
-        self.computers.append((idx, compute))
+        self.computers.append((idx, compute, op))
         return {idx: 1}
 
     def eval_lc(self, lc: LC, z: List[int]) -> int:
@@ -109,7 +114,7 @@ class ConstraintSystem:
     def mul(self, a: LC, b: LC, name: str = "") -> LC:
         p = self.f.p
         out = self.aux(name, lambda z, a=a, b=b: self.eval_lc(a, z)
-                       * self.eval_lc(b, z) % p)
+                       * self.eval_lc(b, z) % p, op=("mul", a, b))
         self.enforce(a, b, out)
         return out
 
@@ -121,8 +126,9 @@ class ConstraintSystem:
             v = self.eval_lc(a, z)
             return pow(v, p - 2, p) if v != 0 else 0
 
-        inv = self.aux(name + "_inv", compute_inv)
-        out = self.aux(name, lambda z, a=a: 1 if self.eval_lc(a, z) == 0 else 0)
+        inv = self.aux(name + "_inv", compute_inv, op=("inv0", a))
+        out = self.aux(name, lambda z, a=a: 1 if self.eval_lc(a, z) == 0
+                       else 0, op=("eq0", a))
         # out = 1 - a*inv ;  out * a = 0
         self.enforce(a, inv, lc_sub({0: 1}, out))
         self.enforce(out, a, {})
@@ -164,7 +170,8 @@ class ConstraintSystem:
         acc: LC = {}
         for j in range(n):
             bj = self.aux(f"{name}_b{j}",
-                          lambda z, x=x, j=j: (self.eval_lc(x, z) >> j) & 1)
+                          lambda z, x=x, j=j: (self.eval_lc(x, z) >> j) & 1,
+                          op=("bit", x, j))
             self.assert_bool(bj)
             acc = lc_add(acc, lc_scale(bj, 1 << j))
             out.append(bj)
@@ -230,7 +237,8 @@ class ConstraintSystem:
             # them sparse for ~40 extra constraints per permutation
             if len(lc) <= 24:
                 return lc
-            w = self.aux("", lambda z, lc=lc: self.eval_lc(lc, z))
+            w = self.aux("", lambda z, lc=lc: self.eval_lc(lc, z),
+                         op=("lc", lc))
             self.enforce_eq(w, lc)
             return w
 
@@ -305,7 +313,11 @@ class CompiledCircuit:
         assert not missing, f"missing inputs: {missing[:10]}"
         for name in cs.input_names:
             z[cs.names[name]] = inputs[name] % cs.f.p
-        for idx, fn in cs.computers:
+        from ..ops import native_fieldvec as FV
+        prog = FV.witness_program(cs) if FV.available() else None
+        if prog is not None:
+            return prog.run(z, inputs)
+        for idx, fn, _op in cs.computers:
             z[idx] = fn(z) % cs.f.p
         return z
 
