@@ -18,6 +18,10 @@ Wire format (all lengths are unsigned LEB128 varints):
     06 <count> <items...>       list
     07 <count> <items...>       tuple
     08 <name:str-payload> <count> <items...>   registered dataclass
+    09 <kind:1> <width> <count> <raw>          packed non-negative int
+                                               vector (fixed-width LE;
+                                               kind 0=list 1=tuple;
+                                               minimal width enforced)
 
 File layout: MAGIC || version || kind (str) || payload || sha256-16 of all
 preceding bytes (integrity check — corruption is caught before structural

@@ -125,3 +125,46 @@ def test_gens_cache_tamper_falls_back(tmp_path, monkeypatch):
     files[0].write_bytes(bytes(body) + hashlib.sha256(bytes(body)).digest())
     again = _cached_gens(VESTA, label, n)
     assert again == honest
+
+
+def test_packed_int_lists_roundtrip():
+    """Long non-negative int vectors take the packed fixed-width path
+    (tag 0x09); type and values round-trip exactly at every width."""
+    import random
+    rng = random.Random(5)
+    cases = [
+        [rng.randrange(4) for _ in range(100)],            # width 1 (udoc)
+        [rng.randrange(1 << 16) for _ in range(64)],       # width 2
+        [rng.randrange(1 << 31) for _ in range(64)],       # width 4
+        [rng.randrange(1 << 63) for _ in range(64)],       # width 8
+        [rng.randrange(1 << 200) for _ in range(64)],      # width 25 (loop)
+        tuple(rng.randrange(2**255) for _ in range(64)),   # width 32 tuple
+        [0] * 100,                                         # all-zero
+    ]
+    for obj in cases:
+        data = SZ.dumps("t", obj)
+        back = SZ.loads(data, "t")
+        assert back == obj and type(back) is type(obj)
+    # mixed / negative / short lists stay on the per-element path
+    for obj in ([1, -2, 3] * 30, [1, None] * 40, [2, 3]):
+        assert SZ.loads(SZ.dumps("t", obj), "t") == obj
+
+
+def test_packed_int_list_noncanonical_width_rejected():
+    """A hand-built packed list whose width is wider than its maximum
+    element must be rejected (one value, one encoding)."""
+    import hashlib
+    import io
+    from reef_tpu.utils.serialize import MAGIC, VERSION, _w_varint
+    out = io.BytesIO()
+    out.write(MAGIC)
+    _w_varint(out, VERSION)
+    out.write(b"\x05\x01t")                      # kind str "t"
+    out.write(b"\x09\x00")                       # packed list
+    _w_varint(out, 2)                            # width 2 (too wide)
+    _w_varint(out, 64)
+    out.write(bytes([1, 0]) * 64)                # all fit in width 1
+    body = out.getvalue()
+    data = body + hashlib.sha256(body).digest()[:16]
+    with pytest.raises(Exception):
+        SZ.loads(data, "t")
