@@ -248,8 +248,20 @@ class _VerifierMerkle:
 def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
                safa: SAFA, doc_codes: List[int], batch_size: int = 0,
                projections: bool = False, hybrid: bool = False,
-               merkle: bool = False, metrics=None) -> Proofs:
+               merkle: bool = False, metrics=None,
+               checkpoint_path: Optional[str] = None,
+               checkpoint_every: int = 8) -> Proofs:
+    """checkpoint_path enables MID-PROOF checkpoint/resume (an extension
+    the reference lacks — a killed prover there restarts folding from step
+    0, SURVEY §5): every checkpoint_every folds the resumable IVC state is
+    written there (PROVER-SECRET, like the .cmtkey), and a prover started
+    with an existing checkpoint file resumes folding after its last saved
+    step (witness batches before it are re-solved — deterministic — but
+    not re-folded or re-committed).  The file is removed once the proof
+    completes."""
+    import os as _os
     from ..utils.metrics import Metrics
+    from ..utils import serialize as SZ
     from .ivc import RecursiveSNARK
     mt = metrics or Metrics()
     udoc = doc_transform(safa.ab, doc_codes)
@@ -262,6 +274,11 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     salt = commit.hash_salt()
     z0 = circuit.z0(salt, tt.table[0])
     rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    skip_folds = 0
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        rs.restore(SZ.load(checkpoint_path, kind="ckpt"))
+        skip_folds = rs.i
+        print(f"resuming from checkpoint: {skip_folds} folds done")
     last_res = None
     mt.tic("Solver", "fa_solver+wit")
 
@@ -282,9 +299,12 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
             if wits is None:
                 return
             try:
-                mt.tic("Prover", f"prove_{i}")
-                rs.prove_step(wits)
-                mt.stop("Prover", f"prove_{i}")
+                if i >= skip_folds:         # pre-checkpoint: already folded
+                    mt.tic("Prover", f"prove_{i}")
+                    rs.prove_step(wits)
+                    mt.stop("Prover", f"prove_{i}")
+                    if checkpoint_path and rs.i % checkpoint_every == 0:
+                        SZ.save(checkpoint_path, "ckpt", rs.checkpoint())
             except Exception as e:  # surface in the main thread
                 fold_err.append(e)
                 return
@@ -329,6 +349,8 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
         cap = cap_prove(v, salt, v_blind)
         mt.stop("Prover", "consistency_proof")
 
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        _os.remove(checkpoint_path)          # proof complete; state consumed
     return Proofs(ivc_proof, consist, cap)
 
 

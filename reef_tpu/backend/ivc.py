@@ -228,10 +228,99 @@ class IVCProof:
 
 
 # ---------------------------------------------------------------------------
+# mid-proof checkpoint/resume
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IVCCheckpoint:
+    """PROVER-SECRET resumable state after step i (contains witnesses and
+    blinds — handle like .cmtkey, never publish).
+
+    The reference has no mid-proof checkpointing (a killed prover restarts
+    from step 0; SURVEY §5) — Nova's IVC makes this state a complete
+    resume point: the per-side folded (U, Wit) pairs, the held-over strict
+    secondary instance, and the z chain.  The accumulators' cached matvec
+    triples are LINEAR in (W, u, x) and are recomputed on restore."""
+    pp: int
+    i: int
+    z0: List[int]
+    z: List[int]
+    U1_W: tuple
+    U1_E: tuple
+    U1_u: int
+    U1_x: List[int]
+    W1: List[int]
+    E1: List[int]
+    W1_blind: int
+    E1_blind: int
+    U2_W: tuple
+    U2_E: tuple
+    U2_u: int
+    U2_x: List[int]
+    W2: List[int]
+    E2: List[int]
+    W2_blind: int
+    E2_blind: int
+    u2_W: tuple
+    u2_x: List[int]
+    w2_last: List[int]
+    w2_blind: int
+
+
+def _acc_restore(acc: FoldAccumulator, cv, comm_W, comm_E, u, x, W, E,
+                 W_blind, E_blind):
+    p = acc.M
+    acc.U = RelaxedInstance(cv.decompress(comm_W), cv.decompress(comm_E),
+                            u % p, [v % p for v in x])
+    acc.Wit = RelaxedWitness(list(W), list(E), W_blind % p, E_blind % p)
+    acc._az, acc._bz, acc._cz = acc._vectors(acc.Wit.W, acc.U.u, acc.U.x)
+
+
+class _CkptMixin:
+    def checkpoint(self) -> IVCCheckpoint:
+        assert self.i >= 1, "nothing to checkpoint"
+        U1, W1t = self.acc1.U, self.acc1.Wit
+        U2, W2t = self.acc2.U, self.acc2.Wit
+        return IVCCheckpoint(
+            pp=self.pp, i=self.i, z0=list(self.z0), z=list(self.z),
+            U1_W=PALLAS.compress(U1.comm_W), U1_E=PALLAS.compress(U1.comm_E),
+            U1_u=U1.u, U1_x=list(U1.x),
+            W1=list(W1t.W), E1=list(W1t.E),
+            W1_blind=W1t.W_blind, E1_blind=W1t.E_blind,
+            U2_W=VESTA.compress(U2.comm_W), U2_E=VESTA.compress(U2.comm_E),
+            U2_u=U2.u, U2_x=list(U2.x),
+            W2=list(W2t.W), E2=list(W2t.E),
+            W2_blind=W2t.W_blind, E2_blind=W2t.E_blind,
+            u2_W=VESTA.compress(self.u2_last.comm_W),
+            u2_x=list(self.u2_last.x),
+            w2_last=list(self.w2_last[0]), w2_blind=self.w2_last[1])
+
+    def restore(self, ck: IVCCheckpoint):
+        """Rehydrate from a checkpoint (fresh RecursiveSNARK, same
+        circuit stack).  Raises VerifyError on pp/shape mismatch."""
+        from ..errors import VerifyError
+        if ck.pp != self.pp:
+            raise VerifyError("checkpoint pp digest does not match the "
+                              "circuit stack")
+        if ck.i < 1:
+            raise VerifyError("checkpoint has no completed steps")
+        self.i = ck.i
+        self.z0 = [v % F.Q for v in ck.z0]
+        self.z = [v % F.Q for v in ck.z]
+        _acc_restore(self.acc1, PALLAS, ck.U1_W, ck.U1_E, ck.U1_u, ck.U1_x,
+                     ck.W1, ck.E1, ck.W1_blind, ck.E1_blind)
+        _acc_restore(self.acc2, VESTA, ck.U2_W, ck.U2_E, ck.U2_u, ck.U2_x,
+                     ck.W2, ck.E2, ck.W2_blind, ck.E2_blind)
+        self.u2_last = StrictInstance(VESTA.decompress(ck.u2_W),
+                                      [v % F.P for v in ck.u2_x])
+        self.w2_last = (list(ck.w2_last), ck.w2_blind % F.P)
+
+
+# ---------------------------------------------------------------------------
 # RecursiveSNARK
 # ---------------------------------------------------------------------------
 
-class RecursiveSNARK:
+class RecursiveSNARK(_CkptMixin):
     def __init__(self, aug: AugmentedPrimary, shape1: R1CSShape,
                  wc1: VectorCommitter, ec1: VectorCommitter,
                  z0: List[int]):

@@ -124,6 +124,12 @@ def _main(argv=None):
                          "testing; production uses OS randomness, mirroring "
                          "the reference's OsRng salts, commitment.rs:152)")
     ap.add_argument("--proof-name", default=None)
+    ap.add_argument("--checkpoint", default=None, metavar="FILE",
+                    help="mid-proof checkpoint/resume: save resumable IVC "
+                         "state here every --checkpoint-every folds; if the "
+                         "file exists, resume from it (prover-secret; "
+                         "removed when the proof completes)")
+    ap.add_argument("--checkpoint-every", type=int, default=8)
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--alpha-numeric", action="store_true")
     ap.add_argument("--ignore-whitespace", action="store_true")
@@ -160,7 +166,8 @@ def _main(argv=None):
                                batch_size=args.batch_size,
                                projections=args.projections,
                                hybrid=args.hybrid, merkle=args.merkle,
-                               metrics=mt)
+                               metrics=mt, checkpoint_path=args.checkpoint,
+                               checkpoint_every=args.checkpoint_every)
         n = serialize.save(proof_path, "proof", proofs)
         mt.space("Prover", "snark_size", n)
         print(f"wrote {proof_path}")

@@ -74,7 +74,7 @@ def _registry() -> Dict[str, Tuple[type, Tuple[str, ...]]]:
             _register(cls)
         try:
             from ..backend import ivc as IVC
-            for cls in (IVC.IVCProof,):
+            for cls in (IVC.IVCProof, IVC.IVCCheckpoint):
                 _register(cls)
         except ImportError:
             pass

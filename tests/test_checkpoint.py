@@ -1,0 +1,97 @@
+"""Mid-proof checkpoint/resume (an extension the reference lacks: a killed
+prover there restarts folding from step 0 — SURVEY §5 / framework.rs:654).
+
+The IVC state after any step is a complete resume point: prove the first
+half, checkpoint, restore into a FRESH RecursiveSNARK (same deterministic
+circuit stack), fold the rest, and the compressed proof must verify.
+"""
+
+import os
+
+import pytest
+
+from reef_tpu.backend import framework as FW
+from reef_tpu.frontend import parser, regex as R
+from reef_tpu.frontend.safa import SAFA
+from reef_tpu.utils import serialize as SZ
+
+pytestmark = pytest.mark.e2e
+
+
+def _setup(doc: str, regex: str, batch: int):
+    ab = "ab"
+    ab_codes = [ord(c) for c in ab]
+    r = R.simpl(parser.parse(regex))
+    safa = SAFA(ab, r)
+    codes = [ord(c) for c in doc]
+    cm, dc = FW.run_committer(codes, ab_codes, merkle=False, seed=11)
+    return safa, codes, cm, dc
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    safa, codes, cm, dc = _setup("a" * 15 + "b", "^a*b$", 4)
+    ck_path = str(tmp_path / "prove.ckpt")
+
+    # interrupted prover: checkpoint after every fold, abort mid-run by
+    # proving with a tiny doc prefix impossible -- instead drive the fold
+    # loop directly through run_prover with checkpoint_every=1 and then
+    # simulate the kill by re-running from the saved state.
+    proofs = FW.run_prover(cm, dc, safa, codes, batch_size=4,
+                           checkpoint_path=ck_path, checkpoint_every=1)
+    # completed run consumed (removed) its checkpoint
+    assert not os.path.exists(ck_path)
+    assert FW.run_verifier(cm, safa, proofs, batch_size=4)
+
+
+def test_checkpoint_restore_midway(tmp_path):
+    """Manually fold half, checkpoint, restore into a fresh RecursiveSNARK,
+    finish, and verify the compressed proof end-to-end."""
+    from reef_tpu.backend.ivc import RecursiveSNARK, verify as ivc_verify
+
+    safa, codes, cm, dc = _setup("a" * 15 + "b", "^a*b$", 4)
+    udoc = FW.doc_transform(safa.ab, codes)
+    tt, circuit, aug, shape, wc, ec, mc = FW.pub_setup(
+        safa, cm, 4, False, False, False, udoc)
+    salt = cm.hash_salt()
+    z0 = circuit.z0(salt, tt.table[0])
+    batches = [w for w, _ in FW.solve_and_batch(
+        tt, circuit, codes, cm.doc_commit_hash(), salt,
+        merkle_commitment=mc)]
+    assert len(batches) >= 2
+
+    rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    half = len(batches) // 2
+    for w in batches[:half]:
+        rs.prove_step(w)
+    blob = SZ.dumps("ckpt", rs.checkpoint())
+
+    rs2 = RecursiveSNARK(aug, shape, wc, ec, z0)   # fresh instance
+    rs2.restore(SZ.loads(blob, "ckpt"))
+    assert rs2.i == half
+    for w in batches[half:]:
+        rs2.prove_step(w)
+    proof = rs2.compress()
+    assert ivc_verify(proof, shape, wc, ec, z0)
+
+
+def test_checkpoint_pp_mismatch_rejected(tmp_path):
+    """A checkpoint from a different circuit stack must be rejected."""
+    from reef_tpu.backend.ivc import RecursiveSNARK
+    from reef_tpu.errors import VerifyError
+
+    safa, codes, cm, dc = _setup("a" * 15 + "b", "^a*b$", 4)
+    udoc = FW.doc_transform(safa.ab, codes)
+    tt, circuit, aug, shape, wc, ec, mc = FW.pub_setup(
+        safa, cm, 4, False, False, False, udoc)
+    salt = cm.hash_salt()
+    z0 = circuit.z0(salt, tt.table[0])
+    batches = [w for w, _ in FW.solve_and_batch(
+        tt, circuit, codes, cm.doc_commit_hash(), salt,
+        merkle_commitment=mc)]
+    rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    rs.prove_step(batches[0])
+    ck = rs.checkpoint()
+    ck.pp ^= 1
+    rs2 = RecursiveSNARK(aug, shape, wc, ec, z0)
+    with pytest.raises(VerifyError):
+        rs2.restore(ck)
