@@ -293,10 +293,24 @@ def main():
         stale.append(key + ("" if err is None else f" ({err})"))
         return cache.get(key, 0)
 
-    perms = measure("poseidon_perms_per_s", bench_poseidon, 420)
+    def _device_probe():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        return float(np.asarray(jnp.sum(jnp.asarray(np.arange(8)))))
+
+    device_ok = _with_timeout(_device_probe, 90, tries=1) is not None
+    if device_ok:
+        perms = measure("poseidon_perms_per_s", bench_poseidon, 420)
+    else:
+        # wedged tunnel: don't burn the driver's wall clock on doomed
+        # compiles — report last-good immediately
+        stale.append("device_benches (tunnel probe timed out)")
+        perms = cache.get("poseidon_perms_per_s", 0)
     msm_native = measure("msm_native_pts_per_s", bench_msm_native, 120)
-    msm_dev = measure("msm_device_kernel_pts_per_s", bench_msm_device,
-                      420, tries=1)
+    msm_dev = (measure("msm_device_kernel_pts_per_s", bench_msm_device,
+                       420, tries=1) if device_ok
+               else cache.get("msm_device_kernel_pts_per_s", 0))
     e2e = measure("e2e_prover_s_per_KB", bench_e2e_prover, 420, tries=1)
     dna = measure("e2e_dna_1mb_s", bench_e2e_dna, 420, tries=1)
 

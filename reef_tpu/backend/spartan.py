@@ -82,14 +82,14 @@ def _eval_at(tab, b, half, t, p: int = None):
 
 @dataclass
 class SpartanProof:
-    sc1: List[List[int]]          # per-round [g(0)..g(3)]
-    vA: int
+    sc1: List[List[int]]          # per-round [g(0), g(2), g(3)] (g(1)
+    vA: int                       # omitted: verifier derives claim-g(0))
     vB: int
     vC: int
     vE: int
-    sc2: List[List[int]]          # per-round [g(0)..g(2)]
+    sc2: List[List[int]]          # per-round [g(0), g(2)]
     vW: int
-    sc3: List[List[int]]          # batched-opening reduction [g(0)..g(2)]
+    sc3: List[List[int]]          # batched-opening reduction [g(0), g(2)]
     vE2: int                      # E~(rho)
     vW2: int                      # W~(rho)
     eval: SigmaEvalProof          # ONE IPA: (E + delta*W) opened at rho
@@ -142,7 +142,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc1_r", p)
             rx.append(r)
             claim = _lagrange(evals, r, p)
-            sc1.append(evals)
+            sc1.append(evals[:1] + evals[2:])      # g(1) = claim - g(0)
             for tab in (eq_t, taz, tbz, tcz, te):
                 tab.fold(r)
         vA, vB, vC, vE = (tab.first() for tab in (taz, tbz, tcz, te))
@@ -166,7 +166,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc1_r", p)
             rx.append(r)
             claim = _lagrange(evals, r, p)
-            sc1.append(evals)
+            sc1.append(evals[:1] + evals[2:])
             eq_t = _fold_table(eq_t, r, p)
             az = _fold_table(az, r, p)
             bz = _fold_table(bz, r, p)
@@ -198,7 +198,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc2_r", p)
             ry.append(r)
             claim2 = _lagrange(evals, r, p)
-            sc2.append(evals)
+            sc2.append(evals[:1] + evals[2:])
             mtab_m.fold(r)
             ztab_m.fold(r)
     else:
@@ -222,7 +222,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc2_r", p)
             ry.append(r)
             claim2 = _lagrange(evals, r, p)
-            sc2.append(evals)
+            sc2.append(evals[:1] + evals[2:])
             mtab = _fold_table(mtab, r, p)
             ztab = _fold_table(ztab, r, p)
 
@@ -271,7 +271,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc3_r", p)
             rho.append(r)
             claim3 = _lagrange(evals, r, p)
-            sc3.append(evals)
+            sc3.append(evals[:1] + evals[2:])
             for tab in (eqE_m, e_m, eqW_m, w_m):
                 tab.fold(r)
         vE2, vW2 = e_m.first(), w_m.first()
@@ -295,7 +295,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             r = t.challenge(b"sc3_r", p)
             rho.append(r)
             claim3 = _lagrange(evals, r, p)
-            sc3.append(evals)
+            sc3.append(evals[:1] + evals[2:])
             eqE = _fold_table(eqE, r, p)
             eqW = _fold_table(eqW, r, p)
             et = _fold_table(et, r, p)
@@ -333,11 +333,15 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     ell_m = ec.n_vars
     tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
 
+    # proof rounds are COMPRESSED: g(1) is omitted and re-derived as
+    # claim - g(0) (so g(0)+g(1)=claim holds by construction); the full
+    # evaluation list is what the transcript absorbs.
     claim = 0
     rx: List[int] = []
-    for evals in proof.sc1:
-        if len(evals) != 4 or (evals[0] + evals[1]) % p != claim % p:
+    for comp in proof.sc1:
+        if len(comp) != 3:
             return False
+        evals = [comp[0], (claim - comp[0]) % p, comp[1], comp[2]]
         t.append(b"sc1", evals)
         r = t.challenge(b"sc1_r", p)
         rx.append(r)
@@ -359,9 +363,10 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     claim2 = (vA + rr * vB + rr * rr % p * vC) % p
     ell_z = wc.n_vars + 1
     ry: List[int] = []
-    for evals in proof.sc2:
-        if len(evals) != 3 or (evals[0] + evals[1]) % p != claim2 % p:
+    for comp in proof.sc2:
+        if len(comp) != 2:
             return False
+        evals = [comp[0], (claim2 - comp[0]) % p, comp[1]]
         t.append(b"sc2", evals)
         r = t.challenge(b"sc2_r", p)
         ry.append(r)
@@ -405,9 +410,10 @@ def spartan_verify(shape: R1CSShape, wc: VectorCommitter,
     ell_max = logmn(n_max)
     claim3 = (proof.vE + gamma * proof.vW) % p
     rho: List[int] = []
-    for evals in proof.sc3:
-        if len(evals) != 3 or (evals[0] + evals[1]) % p != claim3 % p:
+    for comp in proof.sc3:
+        if len(comp) != 2:
             return False
+        evals = [comp[0], (claim3 - comp[0]) % p, comp[1]]
         t.append(b"sc3", evals)
         r = t.challenge(b"sc3_r", p)
         rho.append(r)
