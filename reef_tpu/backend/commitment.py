@@ -213,9 +213,9 @@ class PedersenGens:
         else:
             try:
                 from ..ec.native_msm import msm_packed
-                base = msm_packed(cv, list(values), self.packed_G())
+                base = msm_packed(cv, values, self.packed_G())
             except RuntimeError:
-                base = cv.msm(values, self.G[:len(values)])
+                base = cv.msm(list(values), self.G[:len(values)])
         return cv.add(cv.mul(blind, self.H), base)
 
 

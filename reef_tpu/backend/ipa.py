@@ -63,9 +63,11 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
     assert n & (n - 1) == 0 and len(R_pub) == n
     tau = _absorb_setup(t, C_w, C_v, R_pub, cv)
 
+    from ..ops.native_fieldvec import PackedVec
     G_orig = gens.G[:n]
     H = gens.H
-    w = [x % p for x in w]
+    if not (isinstance(w, PackedVec) and w.p == p):   # PackedVec: canonical
+        w = [x % p for x in w]
     R = [x % p for x in R_pub]
     rho_p = (rho + tau * r_v) % p
 

@@ -177,10 +177,14 @@ class VectorCommitter:
     def commit(self, vec: List[int], blind: Optional[int] = None):
         """-> (commitment Point, blind scalar)."""
         import secrets
+        from ..ops.native_fieldvec import PackedVec
         p = self.cv.order
         if blind is None:
             blind = secrets.randbelow(p)
-        padded = [v % p for v in vec] + [0] * (self.n - len(vec))
+        if isinstance(vec, PackedVec) and vec.p == p:
+            padded = vec.pad_to(self.n)       # zero-copy bytes extension
+        else:
+            padded = [v % p for v in vec] + [0] * (self.n - len(vec))
         return self.gens.commit(padded, blind), blind
 
     @staticmethod

@@ -86,8 +86,8 @@ class IpaNative:
         self.lib = lib
         n = len(w)
         assert len(packed) >= 65 * n
-        wb = b"".join((x % curve.order).to_bytes(32, "little") for x in w)
-        rb = b"".join((x % curve.order).to_bytes(32, "little") for x in R)
+        wb, _ = _scalar_buf(curve, w)
+        rb, _ = _scalar_buf(curve, R)
         self.h = lib.ipa_init(ctypes.c_int(0 if curve is PALLAS else 1),
                               ctypes.c_int64(n), wb, rb, packed)
 
@@ -172,6 +172,21 @@ def pack_points(points) -> bytes:
     return bytes(_pack_points(points))
 
 
+def _scalar_buf(curve, scalars):
+    """(bytes-like, n) of 32B-LE scalars; PackedVec raw is reused as-is
+    when its modulus is the curve order (the fold/cross vectors feeding
+    commit MSMs are already canonical 32B LE — repacking them was ~15% of
+    a multi-fold prove)."""
+    from ..ops.native_fieldvec import PackedVec
+    if isinstance(scalars, PackedVec) and scalars.p == curve.order:
+        return scalars.raw, scalars.n
+    n = len(scalars)
+    sbuf = bytearray(32 * n)
+    for i, s in enumerate(scalars):
+        sbuf[32 * i:32 * (i + 1)] = (s % curve.order).to_bytes(32, "little")
+    return bytes(sbuf), n
+
+
 def msm_packed(curve, scalars: List[int], packed: bytes,
                indices: Optional[List[int]] = None) -> Optional[tuple]:
     """MSM over a pre-packed point buffer, optionally gathering via an
@@ -182,17 +197,15 @@ def msm_packed(curve, scalars: List[int], packed: bytes,
         raise RuntimeError("native msm unavailable")
     from .pasta import PALLAS
     curve_id = 0 if curve is PALLAS else 1
-    n = len(scalars)
+    sbuf, n = _scalar_buf(curve, scalars)
     if n == 0:
         return None
-    sbuf = bytearray(32 * n)
-    for i, s in enumerate(scalars):
-        sbuf[32 * i:32 * (i + 1)] = (s % curve.order).to_bytes(32, "little")
+    if indices is not None:
+        assert len(indices) == n
     idx = (ctypes.c_int64 * n)(*indices) if indices is not None else None
     out_buf = ctypes.create_string_buffer(96)
     lib.pasta_msm_idx(ctypes.c_int(curve_id), ctypes.c_int64(n),
-                      (ctypes.c_char * len(sbuf)).from_buffer(sbuf),
-                      packed, idx, out_buf)
+                      sbuf, packed, idx, out_buf)
     X = int.from_bytes(out_buf.raw[0:32], "little")
     Y = int.from_bytes(out_buf.raw[32:64], "little")
     Z = int.from_bytes(out_buf.raw[64:96], "little")

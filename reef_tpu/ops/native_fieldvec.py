@@ -145,6 +145,12 @@ class PackedVec:
 
     __hash__ = None
 
+    def pad_to(self, m: int) -> "PackedVec":
+        """Zero-extend to m elements (bytes append, no materialization)."""
+        if m <= self.n:
+            return self
+        return PackedVec(self.raw + b"\0" * (32 * (m - self.n)), m, self.p)
+
 
 def _c_i64(arr: Sequence[int]):
     return (ctypes.c_int64 * len(arr))(*arr)
