@@ -91,3 +91,31 @@ def test_fold_chain_detects_tamper():
     steps[1] = (cw, [x[0], (x[1] + 1) % f.p], ct)
     U2 = verify_fold_chain(shape, ec, steps)
     assert U2.x != prover.U.x or U2.u != prover.U.u
+
+
+def test_spartan_rejects_tampered_batched_opening():
+    """The batched-opening pieces (sc3 rounds, the reduced evals vE2/vW2,
+    and the single combined IPA) each bind; tampering any one rejects."""
+    import copy
+    shape, wc, ec, prover = make_chain(2)
+    proof = spartan_prove(shape, wc, ec, prover.U, prover.Wit)
+
+    p1 = copy.deepcopy(proof)
+    p1.vE2 = (p1.vE2 + 1) % f.p
+    assert not spartan_verify(shape, wc, ec, prover.U, p1)
+
+    p2 = copy.deepcopy(proof)
+    p2.vW2 = (p2.vW2 + 1) % f.p
+    assert not spartan_verify(shape, wc, ec, prover.U, p2)
+
+    p3 = copy.deepcopy(proof)
+    p3.sc3[0][0] = (p3.sc3[0][0] + 1) % f.p
+    assert not spartan_verify(shape, wc, ec, prover.U, p3)
+
+    p4 = copy.deepcopy(proof)
+    p4.sc3 = p4.sc3[:-1]                     # truncated reduction
+    assert not spartan_verify(shape, wc, ec, prover.U, p4)
+
+    p5 = copy.deepcopy(proof)
+    p5.eval.a_final = (p5.eval.a_final + 1) % f.p
+    assert not spartan_verify(shape, wc, ec, prover.U, p5)
