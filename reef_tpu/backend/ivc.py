@@ -36,7 +36,7 @@ from ..errors import VerifyError
 from ..ops import field as F
 from ..ops.poseidon import HostSponge, IOPattern
 from . import nonnative as NN
-from .ivc_circuit import (CHAL_BITS, HASH_BITS, AugmentedPrimary,
+from .ivc_circuit import (CHAL_BITS, HASH_BITS, IVC_RATE, AugmentedPrimary,
                           SecondaryCircuit)
 from .nova import R1CSShape, RelaxedInstance, RelaxedWitness, VectorCommitter
 from .spartan import SpartanProof, spartan_prove, spartan_verify
@@ -67,7 +67,7 @@ def absorb_strict(u: StrictInstance) -> List[int]:
 
 def _sponge(field, elems: List[int], domain: bytes) -> int:
     io = IOPattern([("absorb", len(elems)), ("squeeze", 1)], domain=domain)
-    sp = HostSponge(field, io)
+    sp = HostSponge(field, io, rate=IVC_RATE)
     sp.absorb([e % field.p for e in elems])
     return sp.squeeze(1)[0]
 

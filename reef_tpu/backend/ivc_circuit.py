@@ -47,6 +47,11 @@ from .step_circuit import StepCircuit
 
 HASH_BITS = 250
 CHAL_BITS = 128
+# The IVC-layer sponges (state hashes, fold RO) absorb ~15-35 elements per
+# hash: rate 8 (t=9, 57 partial rounds) costs 48 constraints per absorbed
+# element in-circuit vs rate 4's 72 — these hashes are OURS (the app-step
+# nlookup FS stays arity-4 for reference parity, costs.rs:115-138).
+IVC_RATE = 8
 IVC_IO = ["ivc_x0", "ivc_x1"]
 
 
@@ -212,7 +217,7 @@ def nn_recompose(v: NNValue) -> LC:
 def sponge_hash(cs: ConstraintSystem, elems: List[LC], domain: bytes,
                 keep: int, name: str) -> LC:
     io = IOPattern([("absorb", len(elems)), ("squeeze", 1)], domain=domain)
-    sp = CircuitSponge(cs, io)
+    sp = CircuitSponge(cs, io, rate=IVC_RATE)
     sp.absorb(elems)
     sq = sp.squeeze(1)[0]
     low, _ = truncate(cs, sq, keep, name)
@@ -228,7 +233,7 @@ def fold_gadget(cs: ConstraintSystem, pp: LC, U: AllocRelaxed,
     elems = [pp] + U.absorb_elems() + u2.absorb_elems() + T.absorb_elems()
     io = IOPattern([("absorb", len(elems)), ("squeeze", 1)],
                    domain=b"ivc_fold")
-    sp = CircuitSponge(cs, io)
+    sp = CircuitSponge(cs, io, rate=IVC_RATE)
     sp.absorb(elems)
     sq = sp.squeeze(1)[0]
     r_lc, r_bits_msb = truncate(cs, sq, CHAL_BITS, f"{name}_r")

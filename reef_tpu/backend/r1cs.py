@@ -262,8 +262,12 @@ class CircuitSponge:
     RATE = 4
     T = 5
 
-    def __init__(self, cs: ConstraintSystem, io: IOPattern):
+    def __init__(self, cs: ConstraintSystem, io: IOPattern,
+                 rate: int = None):
         self.cs = cs
+        if rate is not None:
+            self.RATE = rate            # instance override (t = rate + 1)
+            self.T = rate + 1
         self.state: List[LC] = [lc_const(io.tag_int() % cs.f.p)] + \
             [{} for _ in range(self.RATE)]
         self.pos = 0

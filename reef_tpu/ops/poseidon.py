@@ -155,9 +155,12 @@ class HostSponge:
     RATE = 4
     T = 5
 
-    def __init__(self, field: F.HostField, io: IOPattern):
+    def __init__(self, field: F.HostField, io: IOPattern,
+                 rate: int = None):
         self.f = field
         self.io = io
+        if rate is not None:
+            self.RATE = rate            # instance override (t = rate + 1)
         self.state = [io.tag_int() % field.p] + [0] * self.RATE
         self.pos = 0
         self.squeezing = False
