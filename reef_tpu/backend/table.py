@@ -195,9 +195,19 @@ class TransitionTable:
         """Add rows for the subgraph reachable from `start`
         (the reference's normal_add_table, r1cs_helper.rs:88-360).
 
-        Returns a path-length estimate for the cost model."""
+        Returns a trace-length estimate for the cost model: the DFS node
+        count, EXCEPT when the subgraph contains a char-consuming cycle
+        (e.g. the a* loop of an anchored `^a*b$`) and no skip edge — then
+        the solver may consume the document one char per step and the
+        estimate is udoc_len (all inputs public, so the verifier derives
+        the same batch size).  Skip-capable subgraphs resolve in ~node
+        count steps regardless of doc size (Reef's headline trick), so
+        they keep the small estimate."""
         safa = self.safa
         order = self._dfs(start, stop_at_forall=False)
+        pos = {s: i for i, s in enumerate(order)}
+        has_skip = False
+        consuming_cycle = False
         for state in order:
             is_forall = safa.nodes[state].is_and and safa.is_fork(state)
             if not is_forall:
@@ -208,7 +218,11 @@ class TransitionTable:
                     if lbl[0] == "c":
                         c = self.num_ab[lbl[1]]
                         rows.add(self.encode(rel, state, dst, c, 1, 1))
+                        if dst in pos and pos[dst] <= pos[state]:
+                            consuming_cycle = True
                     else:
+                        if not lbl[1].is_nil():    # ε self-loops aren't
+                            has_skip = True        # document jumps
                         for lo, hi in self._skip_rows(lbl[1]):
                             rows.add(self.encode(rel, state, dst,
                                                  self.eps_code, lo, hi))
@@ -221,6 +235,8 @@ class TransitionTable:
                     rows.add(self.encode(
                         self.calc_rel(state, self.exit_state, children, True),
                         state, self.exit_state, self.eof_code, 0, 0))
+        if consuming_cycle and not has_skip:
+            return max(len(order) + 1, self.udoc_len + 1)
         return len(order) + 1
 
     def _build_table(self):
