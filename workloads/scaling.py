@@ -56,12 +56,12 @@ def main():
         kb *= 4
     for n in sizes:
         doc = "a" * (n - 4) + "spam"
-        folds, size, tc, tp, tv = run_case(".*spam", "amsp", doc, 2)
+        folds, size, tc, tp, tv = run_case(".*spam", "amsp", doc, 0)
         print(f"| skip-heavy `.*spam` | {n} | {folds} | {size} |"
               f" {tc:.1f} | {tp:.1f} | {tv:.1f} |", flush=True)
     for n in [16, 64, 128]:
         doc = "a" * (n - 1) + "b"
-        folds, size, tc, tp, tv = run_case("^a*b$", "ab", doc, 4)
+        folds, size, tc, tp, tv = run_case("^a*b$", "ab", doc, 0)
         print(f"| skip-free `^a*b$` | {n} | {folds} | {size} |"
               f" {tc:.1f} | {tp:.1f} | {tv:.1f} |", flush=True)
 
