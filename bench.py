@@ -173,7 +173,7 @@ def bench_e2e_prover(doc_kb=1):
         t0 = time.time()
         subprocess.run(
             [sys.executable, "-m", "reef_tpu.cli", "ascii", "--e2e",
-             "-d", doc, "-r", "hello.*", "-b", "4"],
+             "-d", doc, "-r", "hello.*", "-b", "0"],
             cwd=d, env=env, check=True, capture_output=True)
         return (time.time() - t0) / doc_kb
 
