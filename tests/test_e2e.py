@@ -124,3 +124,11 @@ def test_e2e_wrong_flags_rejected():
     proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2)
     # verifying with a different batch size derives a different circuit
     assert not FW.run_verifier(commit, safa, proofs, batch_size=3)
+
+
+def test_e2e_auto_batch():
+    """Auto batch (-b 0): the calibrated cost model must pick the SAME
+    batch on the prover and verifier sides (all inputs public) and prove a
+    trace-bound anchored regex end-to-end."""
+    _, _, ok = e2e("^a*b$", "ab", "a" * 15 + "b", batch_size=0)
+    assert ok
