@@ -307,9 +307,15 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
                         SZ.save(checkpoint_path, "ckpt", rs.checkpoint())
             except Exception as e:  # surface in the main thread
                 fold_err.append(e)
-                return
-            finally:
+                # keep draining so a producer blocked on the full bounded
+                # queue can never deadlock against a dead worker
                 chan.task_done()
+                while True:
+                    if chan.get() is None:
+                        chan.task_done()
+                        return
+                    chan.task_done()
+            chan.task_done()
             i += 1
 
     worker = threading.Thread(target=fold_worker, daemon=True)
@@ -321,8 +327,7 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
             break
         chan.put(wits)
         last_res = res
-    if not fold_err:
-        chan.put(None)
+    chan.put(None)     # always: the worker drains to the sentinel on error
     worker.join()
     if fold_err:
         raise fold_err[0]

@@ -304,8 +304,12 @@ class _CkptMixin:
                               "circuit stack")
         if ck.i < 1:
             raise VerifyError("checkpoint has no completed steps")
+        if [v % F.Q for v in ck.z0] != self.z0:
+            # same shapes but a different run (e.g. another document's
+            # commitment salt): folding on would waste the whole remaining
+            # prove only to fail verification
+            raise VerifyError("checkpoint z0 does not match this run")
         self.i = ck.i
-        self.z0 = [v % F.Q for v in ck.z0]
         self.z = [v % F.Q for v in ck.z]
         _acc_restore(self.acc1, PALLAS, ck.U1_W, ck.U1_E, ck.U1_u, ck.U1_x,
                      ck.W1, ck.E1, ck.W1_blind, ck.E1_blind)

@@ -35,6 +35,32 @@ from . import costs
 EOF_CHAR = 26  # ASCII SUB, the reference's EOF sentinel (r1cs.rs:99)
 
 
+def _has_cycle(edges) -> bool:
+    """True iff the directed edge list contains a cycle (Kahn's algorithm;
+    used on the char-consuming edges of a SAFA subgraph — a preorder
+    back-edge test misfires on DAG cross edges, e.g. alternation branches
+    converging on a shared suffix state)."""
+    from collections import defaultdict
+    out = defaultdict(list)
+    indeg = defaultdict(int)
+    nodes = set()
+    for a, b in edges:
+        out[a].append(b)
+        indeg[b] += 1
+        nodes.add(a)
+        nodes.add(b)
+    queue = [n for n in nodes if indeg[n] == 0]
+    seen = 0
+    while queue:
+        n = queue.pop()
+        seen += 1
+        for m in out[n]:
+            indeg[m] -= 1
+            if indeg[m] == 0:
+                queue.append(m)
+    return seen != len(nodes)
+
+
 def make_num_ab(ab_codes: List[int]) -> Tuple[Dict[int, int], int, int, int]:
     """codepoint -> char index map, plus (eps_code, eof_code, num_chars).
 
@@ -205,9 +231,9 @@ class TransitionTable:
         they keep the small estimate."""
         safa = self.safa
         order = self._dfs(start, stop_at_forall=False)
-        pos = {s: i for i, s in enumerate(order)}
+        in_sub = set(order)
         has_skip = False
-        consuming_cycle = False
+        char_edges = []                 # consuming edges inside the subgraph
         for state in order:
             is_forall = safa.nodes[state].is_and and safa.is_fork(state)
             if not is_forall:
@@ -218,8 +244,8 @@ class TransitionTable:
                     if lbl[0] == "c":
                         c = self.num_ab[lbl[1]]
                         rows.add(self.encode(rel, state, dst, c, 1, 1))
-                        if dst in pos and pos[dst] <= pos[state]:
-                            consuming_cycle = True
+                        if dst in in_sub:
+                            char_edges.append((state, dst))
                     else:
                         if not lbl[1].is_nil():    # ε self-loops aren't
                             has_skip = True        # document jumps
@@ -235,7 +261,7 @@ class TransitionTable:
                     rows.add(self.encode(
                         self.calc_rel(state, self.exit_state, children, True),
                         state, self.exit_state, self.eof_code, 0, 0))
-        if consuming_cycle and not has_skip:
+        if not has_skip and _has_cycle(char_edges):
             return max(len(order) + 1, self.udoc_len + 1)
         return len(order) + 1
 

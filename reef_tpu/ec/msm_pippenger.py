@@ -146,18 +146,28 @@ def _window_kernel(ck: CurveKernels, n: int, levels: int):
     return jax.jit(window_kernel_fn(ck, n, levels))
 
 
-def window_prep(scalars: List[int], order_mod: int, n: int):
-    """Host-side digit/sort/boundary prep shared by the single-chip and
-    sharded MSMs: returns (order (W,n) int32, bnd_idx (W,D), bnd_mask)."""
+def _sorted_digit_counts(scalars: List[int], order_mod: int, n: int):
+    """Shared host prep: per-window descending-digit stable sort order and
+    the >=d boundary counts (c_ge[d] = #points with digit >= d)."""
     digs = _digits_np(scalars, order_mod)
-    D = (1 << WINDOW_C) - 1
     order = np.zeros((N_WINDOWS, n), np.int32)
-    bnd_idx = np.zeros((N_WINDOWS, D), np.int32)
-    bnd_mask = np.zeros((N_WINDOWS, D), bool)
+    c_ge_all = np.zeros((N_WINDOWS, 1 << WINDOW_C), np.int64)
     for w in range(N_WINDOWS):
         order[w] = np.argsort(-digs[w].astype(np.int32), kind="stable")
         counts = np.bincount(digs[w], minlength=1 << WINDOW_C)
-        c_ge = np.cumsum(counts[::-1])[::-1]
+        c_ge_all[w] = np.cumsum(counts[::-1])[::-1]
+    return order, c_ge_all
+
+
+def window_prep(scalars: List[int], order_mod: int, n: int):
+    """Host-side digit/sort/boundary prep shared by the single-chip and
+    sharded MSMs: returns (order (W,n) int32, bnd_idx (W,D), bnd_mask)."""
+    D = (1 << WINDOW_C) - 1
+    order, c_ge_all = _sorted_digit_counts(scalars, order_mod, n)
+    bnd_idx = np.zeros((N_WINDOWS, D), np.int32)
+    bnd_mask = np.zeros((N_WINDOWS, D), bool)
+    for w in range(N_WINDOWS):
+        c_ge = c_ge_all[w]
         for d in range(1, D + 1):
             cnt = int(c_ge[d])
             bnd_idx[w, d - 1] = max(cnt - 1, 0)
@@ -178,16 +188,10 @@ def window_prep_v2(scalars: List[int], order_mod: int, n: int):
     the first m elements = sum over set bits b of m of the level-b node at
     index ((m >> (b+1)) << 1) | ... = (m_cleared >> b) where m_cleared
     clears bits <= b."""
-    digs = _digits_np(scalars, order_mod)
     D = (1 << WINDOW_C) - 1
     LV = max(1, (n - 1).bit_length()) + 1          # levels 0..log2(n)
-    order = np.zeros((N_WINDOWS, n), np.int32)
-    counts_m = np.zeros((N_WINDOWS, D), np.int64)
-    for w in range(N_WINDOWS):
-        order[w] = np.argsort(-digs[w].astype(np.int32), kind="stable")
-        counts = np.bincount(digs[w], minlength=1 << WINDOW_C)
-        c_ge = np.cumsum(counts[::-1])[::-1]
-        counts_m[w] = c_ge[1:]                     # m for digits 1..D
+    order, c_ge_all = _sorted_digit_counts(scalars, order_mod, n)
+    counts_m = c_ge_all[:, 1:]                     # m for digits 1..D
     # level offsets in the flat concatenated tree array
     offs = np.zeros(LV, np.int64)
     width = n
@@ -344,14 +348,20 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
     import jax
     use_pallas = jax.devices()[0].platform == "tpu"
     if use_pallas:
+        # route through the Pallas mul for this trace, then restore the
+        # CALLER's dispatch state (an unconditional disable() here would
+        # silently strip a host app's own enable())
+        from ..ops import limb as _limb
         from ..ops import pallas_field
-        pallas_field.enable(threshold=2048)
+        prev_mul = _limb.mul
+        prev_thr = pallas_field._THRESHOLD
+        pallas_field.enable(threshold=min(prev_thr, 2048))
     try:
         accs = np.asarray(kern(pts_dev, jnp.asarray(order),
                                jnp.asarray(lv_idx), jnp.asarray(lv_mask),
                                jnp.asarray(np.asarray(ck.ident))))
     finally:
         if use_pallas:
-            from ..ops import pallas_field
-            pallas_field.disable()
+            _limb.mul = prev_mul
+            pallas_field._THRESHOLD = prev_thr
     return combine_windows(ck, accs)

@@ -327,9 +327,15 @@ def loads(data: bytes, kind: str) -> Any:
 
 
 def save(path: str, kind: str, obj) -> int:
+    """Atomic write (tmp + rename): a crash mid-write must never destroy
+    the previous artifact — checkpoints exist precisely for the
+    killed-prover case."""
+    import os
     data = dumps(kind, obj)
-    with open(path, "wb") as fh:
+    tmp = path + ".tmp.%d" % os.getpid()
+    with open(tmp, "wb") as fh:
         fh.write(data)
+    os.replace(tmp, path)
     return len(data)
 
 

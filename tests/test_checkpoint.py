@@ -95,3 +95,44 @@ def test_checkpoint_pp_mismatch_rejected(tmp_path):
     rs2 = RecursiveSNARK(aug, shape, wc, ec, z0)
     with pytest.raises(VerifyError):
         rs2.restore(ck)
+
+
+def test_checkpoint_z0_mismatch_rejected():
+    """A checkpoint from a different run (same shapes, different
+    commitment salt -> different z0) must be rejected at restore, not
+    after folding completes."""
+    from reef_tpu.backend.ivc import RecursiveSNARK
+    from reef_tpu.errors import VerifyError
+
+    safa, codes, cm, dc = _setup("a" * 15 + "b", "^a*b$", 4)
+    udoc = FW.doc_transform(safa.ab, codes)
+    tt, circuit, aug, shape, wc, ec, mc = FW.pub_setup(
+        safa, cm, 4, False, False, False, udoc)
+    salt = cm.hash_salt()
+    z0 = circuit.z0(salt, tt.table[0])
+    batches = [w for w, _ in FW.solve_and_batch(
+        tt, circuit, codes, cm.doc_commit_hash(), salt,
+        merkle_commitment=mc)]
+    rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    rs.prove_step(batches[0])
+    ck = rs.checkpoint()
+    z0_other = list(z0)
+    z0_other[0] = (z0_other[0] + 1) % (2**255)
+    rs2 = RecursiveSNARK(aug, shape, wc, ec, z0_other)
+    with pytest.raises(VerifyError):
+        rs2.restore(ck)
+
+
+def test_prover_error_does_not_deadlock(monkeypatch):
+    """A fold-worker exception with the bounded queue full must surface
+    as an exception, never a producer deadlock (the worker drains to the
+    sentinel)."""
+    from reef_tpu.backend.ivc import RecursiveSNARK
+
+    def boom(self, wits, check=False):
+        raise RuntimeError("injected fold failure")
+
+    monkeypatch.setattr(RecursiveSNARK, "prove_step", boom)
+    safa, codes, cm, dc = _setup("a" * 31 + "b", "^a*b$", 2)
+    with pytest.raises(RuntimeError, match="injected fold failure"):
+        FW.run_prover(cm, dc, safa, codes, batch_size=2)
