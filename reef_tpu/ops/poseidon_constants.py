@@ -72,20 +72,121 @@ class GrainLFSR:
                 return v
 
 
-@functools.lru_cache(maxsize=None)
-def poseidon_params(p: int, t: int):
-    """(round_constants [(R_F+R_P)*t], mds [t][t]) as python-int tuples."""
+def _derive_rc(p: int, t: int):
     r_f = FULL_ROUNDS
     r_p = PARTIAL_ROUNDS[t]
     n = p.bit_length()
     grain = GrainLFSR(field_tag=1, sbox_tag=0, n=n, t=t, r_f=r_f, r_p=r_p)
-    n_constants = (r_f + r_p) * t
-    rc = tuple(grain.next_field_element(p, n) for _ in range(n_constants))
+    return tuple(grain.next_field_element(p, n)
+                 for _ in range((r_f + r_p) * t))
+
+
+def _perm_digest(p: int, t: int, rc, mds) -> str:
+    """sha256-16 of one permutation of [1..t] — any constant change
+    diffuses through every output element."""
+    import hashlib
+    r_f, r_p = FULL_ROUNDS, PARTIAL_ROUNDS[t]
+    half = r_f // 2
+    s = list(range(1, t + 1))
+    ci = 0
+    for rnd in range(r_f + r_p):
+        full = rnd < half or rnd >= half + r_p
+        s = [(x + rc[ci + i]) % p for i, x in enumerate(s)]
+        ci += t
+        if full:
+            s = [pow(x, 5, p) for x in s]
+        else:
+            s = [pow(s[0], 5, p)] + s[1:]
+        s = [sum(mds[i][j] * s[j] for j in range(t)) % p for i in range(t)]
+    return hashlib.sha256(b"".join(v.to_bytes(32, "little")
+                                   for v in s)).hexdigest()[:32]
+
+
+# Pinned permutation digests for the production (field, t) combos: a
+# cached constants file that fails its pin is discarded and re-derived
+# (the Grain stream is sequential, so spot re-derivation isn't possible;
+# the full-permutation pin binds every constant instead).
+_RC_PINS = {}
+
+
+def _install_pins():
+    from . import field as F
+    _RC_PINS.update({
+        (F.P, 5): "477c375144d06f4779f6ca62119efa44",
+        (F.P, 9): "b618eb895043ac2ac51d4eafbf63045d",
+        (F.Q, 5): "cd428ede1874e26926f176f3ba50b52d",
+        (F.Q, 9): "4c41ca1c51ac4080bcfb4d00565a2ff2",
+    })
+
+
+_install_pins()
+
+
+def _cached_rc(p: int, t: int):
+    """Disk-cached Grain-LFSR round constants (the sequential stream costs
+    ~1s/table and was re-derived by EVERY process; the reference links the
+    constants at compile time).  sha-256 file integrity + pinned
+    permutation digest for known combos."""
+    import hashlib
+    path = _rc_cache_path(p, t)
+    n_c = (FULL_ROUNDS + PARTIAL_ROUNDS[t]) * t
+    try:
+        raw = open(path, "rb").read()
+        body, chk = raw[:-32], raw[-32:]
+        if (hashlib.sha256(body).digest() == chk
+                and len(body) == 32 * n_c):
+            rc = tuple(int.from_bytes(body[32 * i:32 * i + 32], "little")
+                       for i in range(n_c))
+            if all(v < p for v in rc):
+                return rc
+    except Exception:
+        pass
+    rc = _derive_rc(p, t)
+    _write_rc_cache(p, t, rc)
+    return rc
+
+
+def _rc_cache_path(p: int, t: int) -> str:
+    import hashlib
+    import os
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "reef_tpu")
+    key = hashlib.sha256(b"poseidon_rc/%d/%d" % (p, t)).hexdigest()[:24]
+    return os.path.join(cache_dir, f"posrc_{key}.bin")
+
+
+def _write_rc_cache(p: int, t: int, rc) -> None:
+    import hashlib
+    import os
+    path = _rc_cache_path(p, t)
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        body = b"".join(v.to_bytes(32, "little") for v in rc)
+        tmp = path + ".tmp.%d" % os.getpid()
+        with open(tmp, "wb") as fh:
+            fh.write(body + hashlib.sha256(body).digest())
+        os.replace(tmp, path)
+    except Exception:
+        pass
+
+
+@functools.lru_cache(maxsize=None)
+def poseidon_params(p: int, t: int):
+    """(round_constants [(R_F+R_P)*t], mds [t][t]) as python-int tuples."""
+    rc = _cached_rc(p, t)
     xs = list(range(t))
     ys = [t + j for j in range(t)]
     mds = tuple(
         tuple(pow((x + y) % p, -1, p) for y in ys) for x in xs
     )
+    pin = _RC_PINS.get((p, t))
+    if pin is not None and _perm_digest(p, t, rc, mds) != pin:
+        # tampered/corrupt cache: rebuild from the Grain stream and
+        # repair the file so later processes don't re-derive again
+        rc = _derive_rc(p, t)
+        if _perm_digest(p, t, rc, mds) != pin:
+            raise AssertionError("poseidon constant derivation drifted "
+                                 "from the pinned digest")
+        _write_rc_cache(p, t, rc)
     return rc, mds
 
 

@@ -35,3 +35,25 @@ def test_frozen_vectors():
         sp = HostSponge(f, io)
         sp.absorb([7, 8, 9])
         assert sp.squeeze(1)[0] == VECTORS[name]["sponge"], name
+
+
+def test_constants_cache_tamper_rederives(tmp_path, monkeypatch):
+    """A tampered constants cache (valid sha, wrong constants) fails the
+    pinned permutation digest and is silently replaced by a fresh
+    derivation."""
+    import hashlib
+    import importlib
+    monkeypatch.setenv("HOME", str(tmp_path))
+    from reef_tpu.ops import field as F
+    from reef_tpu.ops import poseidon_constants as PC
+    PC.poseidon_params.cache_clear()
+    honest = PC.poseidon_params(F.Q, 5)
+    files = list((tmp_path / ".cache" / "reef_tpu").glob("posrc_*.bin"))
+    assert files
+    raw = files[0].read_bytes()
+    body = bytearray(raw[:-32])
+    body[5] ^= 1
+    files[0].write_bytes(bytes(body) + hashlib.sha256(bytes(body)).digest())
+    PC.poseidon_params.cache_clear()
+    again = PC.poseidon_params(F.Q, 5)
+    assert again == honest
