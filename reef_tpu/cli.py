@@ -40,6 +40,11 @@ def build_alphabet(args) -> List[int]:
         # stay reusable across regexes): whitespace + printable ASCII +
         # Latin-1 supplement.
         ab = sorted({9, 10, 13} | set(range(32, 127)) | set(range(160, 256)))
+    elif args.alphabet == "snort":
+        # mirrors the reference's stub: Config::Snort returns an empty
+        # alphabet with a TODO (config.rs:104-110, 429, 438)
+        raise ValueError("snort alphabet is a stub (unimplemented in the "
+                         "reference too: config.rs:429 'TODO')")
     elif args.alphabet == "dna":
         ab = [ord(c) for c in "ACGT"]
     else:
@@ -105,7 +110,7 @@ def main(argv=None):
 
 def _main(argv=None):
     ap = argparse.ArgumentParser(prog="reef_tpu")
-    ap.add_argument("alphabet", choices=["ascii", "utf8", "dna"])
+    ap.add_argument("alphabet", choices=["ascii", "utf8", "dna", "snort"])
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--commit", action="store_true")
     mode.add_argument("--prove", action="store_true")
