@@ -175,6 +175,31 @@ CORPUS = [
     # DNA-style giant skip (safa.rs:953-967)
     ("^.{8}ACGT", "AAAAAAAAACGTAAAA", "ACGT"),
     ("^.{8}ACGT", "AAAAAAAACGTAAAAA", "ACGT"),
+    # pi-hole ad-block style URI fragments (safa.rs:914-937)
+    (".*ad[sx]?[.]doubleclick[.].*", "www.adx.doubleclick.net",
+     "adsxoubleickwnt."),
+    (".*ad[sx]?[.]doubleclick[.].*", "www.doubleclick.net",
+     "adsxoubleickwnt."),
+    # PII/SSN-shape digits with separators (safa.rs:940-950)
+    ("^[0-9]{3}-[0-9]{2}-[0-9]{4}$", "123-45-6789", "0123456789-"),
+    ("^[0-9]{3}-[0-9]{2}-[0-9]{4}$", "123-456-789", "0123456789-"),
+    # date-like bounded ranges
+    ("^[0-9]{1,2}/[0-9]{1,2}$", "3/14", "0123456789/"),
+    ("^[0-9]{1,2}/[0-9]{1,2}$", "314", "0123456789/"),
+    # alternation branches converging on a shared suffix (the DAG
+    # cross-edge case for the consuming-cycle detector)
+    ("^(ab|cb)b$", "abb", "abc"),
+    ("^(ab|cb)b$", "cbb", "abc"),
+    ("^(ab|cb)b$", "bbb", "abc"),
+    # nested lookahead under alternation
+    ("^((?=a.)ab|ba)$", "ab", "ab"),
+    ("^((?=b.)ab|ba)$", "ab", "ab"),
+    # bounded counted repeat of a class
+    ("^[ab]{2,4}c$", "abac", "abc"),
+    ("^[ab]{2,4}c$", "ababac", "abc"),
+    # double skip composition
+    ("^.{2}a.{2}b$", "xxaxxb", "abx"),
+    ("^.{2}a.{2}b$", "xxaxb", "abx"),
 ]
 
 
