@@ -300,6 +300,12 @@ def range_(a: Regex, lo: int, hi: int) -> Regex:
         return empty()
     if lo == 0 and hi == 0:
         return nil()
+    if lo > 0 and nullable(a):
+        # a nullable body can supply empty copies, so {lo,hi} == {0,hi}
+        # (e.g. (b?){2} matches "").  The reference's Range keeps lo and
+        # declares Range(_, lo>0, _) non-nullable (mod.rs:284-309),
+        # diverging from real regex semantics — fuzz-found.
+        lo = 0
     return _mk(RANGE, a, lo=lo, hi=hi)
 
 
