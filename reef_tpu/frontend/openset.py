@@ -166,9 +166,38 @@ class OpenSet:
         return self.intersection(o.negate())
 
     def kleene(self) -> "OpenSet":
+        """EXACT Kleene closure, or None when it is not representable as a
+        finite union of (possibly open) ranges.
+
+        The reference returns [0, inf) for every non-nil set
+        (openset.rs:409-415) — unsound for strided sets: ({2})* is the
+        even numbers, so a `(..)*`-shaped skip must NOT become a
+        jump-anywhere edge (fuzz-found over-match).  Exactly
+        representable cases:
+          - 1 in S                    -> [0, inf)
+          - single interval [a, b], b > a (or open): the k-fold sums
+            [ka, kb] merge once (k+1)a <= kb + 1 -> {0} U intervals U
+            [Ka, inf)
+        Anything else (e.g. the single stride {k}, k > 1, or multi-range
+        sets with gcd > 1) returns None and the caller falls back to
+        derivative edges, which are always sound."""
         if self.is_empty() or self.is_nil():
             return OpenSet.nil()
-        return OpenSet.star()
+        if self.contains(1):
+            return OpenSet([(0, None)])
+        if len(self.ranges) == 1:
+            a, b = self.ranges[0]
+            if b is None:
+                return OpenSet([(0, 0), (a, None)])
+            if b > a:
+                out = [(0, 0)]
+                k = 1
+                while (k + 1) * a > k * b + 1:
+                    out.append((k * a, k * b))
+                    k += 1
+                out.append((k * a, None))
+                return OpenSet(out)
+        return None
 
     # -- usize (skip offset) arithmetic ------------------------------------
     def app(self, o: "OpenSet") -> "OpenSet":

@@ -265,19 +265,57 @@ def app(a: Regex, b: Regex) -> Regex:
 
 
 def alt(a: Regex, b: Regex) -> Regex:
-    if a is b:
-        return a
-    if b.tag == ALT:
-        return alt(alt(a, b.a), b.b)
-    if a.tag == CHARCLASS and b.tag == CHARCLASS:
-        return charclass(a.cc.union(b.cc))
-    if partial_le(a, b):
-        return b
-    if partial_le(b, a):
-        return a
-    if a.uid > b.uid:  # canonical argument order (reference uses ord.rs)
-        return alt(b, a)
-    return _mk(ALT, a, b)
+    """Canonical alternation: flatten to leaves, merge char classes,
+    absorb by the partial order, sort by uid, rebuild right-nested.
+
+    The reference's rewrite pair (right-flatten + "smaller term left" swap,
+    mod.rs:234-249) does not terminate under an intern-order total order:
+    every rebuilt node mints a LARGER uid, so a swapped result re-triggers
+    flattening forever (fuzz-found on `[a-b]*([a-b][a-b]*|[b].)`
+    derivatives).  Building the canonical form in one pass preserves the
+    same algebra (idempotence, class union, absorption, a stable order)
+    and terminates by construction."""
+    leaves: list = []
+    stack = [b, a]
+    while stack:
+        r = stack.pop()
+        if r.tag == ALT:
+            stack.append(r.b)
+            stack.append(r.a)
+        else:
+            leaves.append(r)
+    ccs = [l for l in leaves if l.tag == CHARCLASS]
+    rest = [l for l in leaves if l.tag != CHARCLASS]
+    if ccs:
+        cc = ccs[0].cc
+        for o in ccs[1:]:
+            cc = cc.union(o.cc)
+        rest.append(charclass(cc))
+    uniq: list = []
+    for x in rest:
+        if not any(x is y for y in uniq):
+            uniq.append(x)
+    kept: list = []
+    for i, x in enumerate(uniq):
+        drop = False
+        for j, y in enumerate(uniq):
+            if i == j:
+                continue
+            if partial_le(x, y):
+                if not partial_le(y, x) or j < i:
+                    drop = True    # strictly subsumed, or equivalent dup
+                    break
+        if not drop:
+            kept.append(x)
+    if not kept:
+        return empty()
+    if len(kept) == 1:
+        return kept[0]
+    kept.sort(key=lambda r: r.uid)
+    out = kept[-1]
+    for r in reversed(kept[:-1]):
+        out = _mk(ALT, r, out)
+    return out
 
 
 def star(a: Regex) -> Regex:
@@ -292,14 +330,14 @@ def star(a: Regex) -> Regex:
 
 def range_(a: Regex, lo: int, hi: int) -> Regex:
     assert lo <= hi, f"Range indices must be 0 <= {lo} <= {hi}"
+    if lo == 0 and hi == 0:
+        return nil()                   # X{0,0} == empty match, even X = r*
     if a.tag in (STAR, NIL):
         return a
     if lo == 1 and hi == 1:
         return a
     if is_empty(a):
         return empty()
-    if lo == 0 and hi == 0:
-        return nil()
     if lo > 0 and nullable(a):
         # a nullable body can supply empty copies, so {lo,hi} == {0,hi}
         # (e.g. (b?){2} matches "").  The reference's Range keeps lo and
@@ -414,7 +452,10 @@ def extract_skip(r: Regex) -> Optional[Tuple[OpenSet, Regex]]:
             return None
         sa, rem = got
         if is_nil(rem):
-            return sa.kleene(), nil()
+            closure = sa.kleene()
+            if closure is None:        # strided star: not a skip
+                return None
+            return closure, nil()
         return None
     if t == RANGE:
         got = extract_skip(r.a)
