@@ -211,23 +211,35 @@ def dotstar() -> Regex:
     return star(dot())
 
 
+def _ends_with_dotstar(r: Regex) -> bool:
+    if r.tag == STAR and r.a.tag == DOT:
+        return True
+    return r.tag == APP and _ends_with_dotstar(r.b)
+
+
 def and_(a: Regex, b: Regex) -> Regex:
-    if partial_eq(a, b):
-        return a
+    """Lookahead conjunction (?=a)b == L(a . Sigma*) INTERSECT L(b).
+
+    The arm is suffixed with .* FIRST and every absorption rule compares
+    the SUFFIXED arm: the reference applies `x & .* -> x` and the
+    partial-order absorptions to the raw arm before suffixing
+    (mod.rs:174-191), so `(?=c|b).*` collapsed to the single-char class
+    [bc] and rejected longer matching documents (fuzz-found; we diverge
+    for correctness)."""
     if is_empty(a) or is_empty(b):
         return empty()
-    if partial_le(a, b):
-        return a
-    if partial_le(b, a):
-        return b
-    if a.tag == STAR and a.a.tag == DOT:
-        return b
-    if b.tag == STAR and b.a.tag == DOT:
-        return a
     if b.tag == AND:
         return and_(and_(a, b.a), b.b)
-    # (a & b) -> (a.* & b): lookahead arms implicitly allow a suffix
-    return _mk(AND, app(a, dotstar()), b)
+    ax = a if _ends_with_dotstar(a) else app(a, dotstar())
+    if partial_le(ax, b):
+        return ax
+    if partial_le(b, ax):
+        return b
+    if b.tag == STAR and b.a.tag == DOT:
+        return ax
+    if ax.tag == STAR and ax.a.tag == DOT:
+        return b
+    return _mk(AND, ax, b)
 
 
 def app(a: Regex, b: Regex) -> Regex:

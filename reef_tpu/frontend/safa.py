@@ -31,13 +31,19 @@ Edge = Tuple[str, object]  # ("c", codepoint) | ("s", OpenSet)
 
 
 class SAFA:
-    def __init__(self, alphabet: str, regex: R.Regex, _build: bool = True):
+    def __init__(self, alphabet: str, regex: R.Regex, _build: bool = True,
+                 use_skips: bool = True, dual: bool = False):
+        """use_skips=False builds the pure derivative automaton (no skip
+        edges); dual=True complements: quantifiers at forks swap and
+        acceptance flips to non-nullable — see negate()."""
         self.ab: List[int] = sorted(ord(c) for c in set(alphabet))
         self.nodes: List[Quant] = []
         # edges stored per-source in insertion order: (dst, label)
         self.out_edges: List[List[Tuple[int, Edge]]] = []
         self.accepting: Set[int] = set()
         self.sink: Optional[int] = None
+        self._use_skips = use_skips
+        self._dual = dual
         # (regex uid, is_and) -> node index, for find_or_add
         self._index: Dict[Tuple[int, bool], int] = {}
         if _build:
@@ -48,7 +54,10 @@ class SAFA:
                 self._add(root)
             finally:
                 sys.setrecursionlimit(old)
-            if self.sink is None:
+            if self.sink is None and not dual:
+                # the empty-class node is a dead end in the primal
+                # automaton; in the DUAL it accepts every suffix and must
+                # not be pruned as a sink
                 self.sink = self.find(R.empty())
 
     # ------------------------------------------------------------------
@@ -121,10 +130,14 @@ class SAFA:
 
         children = sorted(set(to_set(self.nodes[frm].get())), key=lambda x: x.uid)
         if len(children) > 1:
+            # dual automata swap the fork quantifier (AND-splits become
+            # exists-forks and vice versa); the SPLIT criterion stays tied
+            # to the regex tag
+            quant_and = is_and != self._dual
             q = self.nodes[frm]
-            self.nodes[frm] = Quant(q.get(), is_and)
+            self.nodes[frm] = Quant(q.get(), quant_and)
             self._index.pop((q.get().uid, q.is_and), None)
-            self._index[(q.get().uid, is_and)] = frm
+            self._index[(q.get().uid, quant_and)] = frm
             for q_c in children:
                 self._add_skip(frm, OpenSet.nil(), q_c)
             return True
@@ -132,9 +145,9 @@ class SAFA:
 
     def _add(self, frm: int):
         r = self.nodes[frm].get()
-        if R.nullable(r):
+        if R.nullable(r) != self._dual:
             self.accepting.add(frm)
-        got = R.extract_skip(r)
+        got = R.extract_skip(r) if self._use_skips else None
         if got is not None:
             skip, rem = got
             self._add_skip(frm, skip, rem)
@@ -207,19 +220,27 @@ class SAFA:
     # ------------------------------------------------------------------
 
     def negate(self) -> "SAFA":
-        s = SAFA.__new__(SAFA)
-        s.ab = list(self.ab)
-        s.nodes = list(self.nodes)
-        s.out_edges = [list(e) for e in self.out_edges]
-        s._index = dict(self._index)
-        s.accepting = self.non_accepting()
-        s.sink = None
-        # sink = non-accepting node whose every outgoing edge self-loops
-        for n in range(len(self.nodes)):
-            if n not in s.accepting and all(dst == n for dst, _ in self.out_edges[n]):
-                s.sink = n
-                break
-        return s
+        """SOUND complement: rebuild from the regex as a SKIP-FREE
+        alternating automaton with dualized quantifiers (AND-forks <->
+        OR-forks) and complemented acceptance.
+
+        The reference's negate flips the accepting set on the original
+        graph (safa.rs:224-253, with the fork dualization commented out
+        and double-negation tests #[ignore]d) — over-accepting whenever
+        the graph has exists-forks or skip edges, since those encode
+        existential choices whose complement is a FOR-ALL (fuzz found
+        830/6000 wrong 'non-match' answers on alternation regexes; for a
+        proof system, a wrong non-match proof is a soundness break, so we
+        diverge).  Skip edges are disabled in the complement because a
+        skip's dual is a for-all over document offsets, which the SAFA
+        cannot represent: negated queries walk the document char by char
+        (correctness over the skip optimization).  In the skip-free
+        build every non-fork state is a total deterministic derivative
+        state, so dualize-and-flip is the textbook alternating-automaton
+        complement."""
+        ab_str = "".join(chr(c) for c in self.ab)
+        return SAFA(ab_str, self.to_regex(), use_skips=False,
+                    dual=not self._dual)
 
     # ------------------------------------------------------------------
     # solver (safa.rs:353-492)

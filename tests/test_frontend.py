@@ -314,3 +314,64 @@ def test_random_regex_fuzz_vs_python_re():
                 check_trace(safa, got, [ord(c) for c in doc])
             checked += 1
     assert checked > 200, f"fuzz only exercised {checked} cases"
+
+
+def test_random_negation_fuzz_vs_python_re():
+    """Negation soundness fuzz: negate() must accept exactly the
+    complement (a wrong 'non-match' answer would be a proof-system
+    soundness break under -n).  Includes lookaheads."""
+    import random
+    rng = random.Random(271828)
+
+    def gen(depth, look=True):
+        if depth == 0:
+            return rng.choice(["a", "b", "[ab]", "."])
+        r = rng.random()
+        if r < 0.3:
+            return gen(depth - 1, look) + gen(depth - 1, False)
+        if r < 0.55:
+            return "(" + gen(depth - 1, False) + "|" + gen(depth - 1, False) + ")"
+        if r < 0.7:
+            return "(" + gen(depth - 1, False) + ")*"
+        if r < 0.8:
+            return "(" + gen(depth - 1, False) + ")?"
+        if r < 0.9 and look:
+            return "(?=" + gen(depth - 1, False) + ")" + gen(depth - 1, False)
+        return gen(depth - 1, look)
+
+    checked = 0
+    for trial in range(60):
+        rstr = "^" + gen(rng.choice([2, 3])) + "$"
+        try:
+            pyre.compile(rstr)
+            r = R.simpl(parser.parse(rstr))
+            safa = SAFA("ab", r)
+            neg = safa.negate()
+        except NotImplementedError:
+            continue
+        if safa.num_states() > 150 or neg.num_states() > 300:
+            continue
+        for _ in range(4):
+            doc = "".join(rng.choice("ab")
+                          for _ in range(rng.randrange(1, 7)))
+            want = pyre.search(rstr, doc) is not None
+            got = safa.solve([ord(c) for c in doc])
+            assert (got is not None) == want, (rstr, doc)
+            ngot = neg.solve([ord(c) for c in doc])
+            assert (ngot is not None) == (not want), ("negate", rstr, doc)
+            checked += 1
+    assert checked > 100, f"negation fuzz only exercised {checked} cases"
+
+
+def test_double_negation_language():
+    """negate(negate(s)) accepts the original language (the reference's
+    double-negation tests are #[ignore]d; ours run)."""
+    for rstr, docs in (("^a(b|a)*$", ["a", "ab", "aba", "b", "ba"]),
+                       ("^(?=a.*)..$", ["ab", "ba", "aa"])):
+        r = R.simpl(parser.parse(rstr))
+        safa = SAFA("ab", r)
+        nn = safa.negate().negate()
+        for doc in docs:
+            codes = [ord(c) for c in doc]
+            assert (safa.solve(codes) is not None) == \
+                (nn.solve(codes) is not None), (rstr, doc)
