@@ -158,3 +158,59 @@ def test_bad_witness_rejected():
     wits["char_0"] = (wits["char_0"] + 1) % f.p  # lie about the char
     vec = circuit.compiled.witness(wits)
     assert circuit.compiled.check_all(vec) is not None
+
+
+def test_random_circuit_fuzz():
+    """Randomized version of the workhorse gate: random regex/doc pairs
+    (incl. lookaheads and negation) through table -> circuit -> witness
+    -> check_all -> final clear checks.  Seeded and bounded."""
+    import random
+    import re as pyre
+    rng = random.Random(424242)
+
+    def gen(depth, look=True):
+        if depth == 0:
+            return rng.choice(["a", "b", "[ab]", "."])
+        p = rng.random()
+        if p < 0.3:
+            return gen(depth - 1, look) + gen(depth - 1, False)
+        if p < 0.55:
+            return "(" + gen(depth - 1, False) + "|" + gen(depth - 1, False) + ")"
+        if p < 0.68:
+            return "(" + gen(depth - 1, False) + ")*"
+        if p < 0.78:
+            return "(" + gen(depth - 1, False) + ")?"
+        if p < 0.88 and look:
+            return "(?=" + gen(depth - 1, False) + ")" + gen(depth - 1, False)
+        return gen(depth - 1, look)
+
+    ran = 0
+    trial = 0
+    while ran < 12 and trial < 400:
+        trial += 1
+        rstr = "^" + gen(rng.choice([2, 3])) + "$"
+        negate = rng.random() < 0.3
+        try:
+            r = R.simpl(parser.parse(rstr))
+            safa = SAFA("ab", r)
+        except NotImplementedError:
+            continue
+        if negate:
+            safa = safa.negate()
+        if safa.num_states() > 60:
+            continue
+        # find a doc the (possibly negated) SAFA accepts
+        doc = None
+        for _ in range(30):
+            cand = "".join(rng.choice("ab")
+                           for _ in range(rng.randrange(1, 7)))
+            want = pyre.search(rstr, cand) is not None
+            if want != negate:
+                doc = cand
+                break
+        if doc is None:
+            continue
+        run_case(rstr, "ab", doc, batch_size=rng.choice([2, 3, 4]),
+                 negate=negate)
+        ran += 1
+    assert ran >= 12
