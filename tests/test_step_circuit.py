@@ -210,7 +210,29 @@ def test_random_circuit_fuzz():
                 break
         if doc is None:
             continue
+        hybrid = rng.random() < 0.3
         run_case(rstr, "ab", doc, batch_size=rng.choice([2, 3, 4]),
-                 negate=negate)
+                 negate=negate, hybrid=hybrid)
         ran += 1
     assert ran >= 12
+
+
+def test_random_circuit_fuzz_projections():
+    """Projection mode on skip-prefixed random tails (the ignorable-prefix
+    machinery): constraint gate + clear checks."""
+    import random
+    import re as pyre
+    rng = random.Random(98765)
+    ran = 0
+    trial = 0
+    while ran < 6 and trial < 200:
+        trial += 1
+        tail = "".join(rng.choice("ab") for _ in range(rng.randrange(2, 5)))
+        skip = rng.choice([8, 12, 16])
+        rstr = f"^.{{{skip}}}{tail}$"
+        doc = "".join(rng.choice("ab") for _ in range(skip)) + tail
+        if pyre.search(rstr, doc) is None:
+            continue
+        run_case(rstr, "ab", doc, batch_size=2, projections=True)
+        ran += 1
+    assert ran >= 6
