@@ -44,6 +44,7 @@ class SAFA:
         self.sink: Optional[int] = None
         self._use_skips = use_skips
         self._dual = dual
+        self._eof_node: Optional[int] = None
         # (regex uid, is_and) -> node index, for find_or_add
         self._index: Dict[Tuple[int, bool], int] = {}
         if _build:
@@ -99,15 +100,45 @@ class SAFA:
         recurse = not self.exists(q_c, False)
         n_c = self.find_or_add(q_c, False)
         self._add_edge(n, n_c, skip_edge(skip))
-        # complement skip always fails -> edge to sink (safa.rs:108-119)
+        # complement skip always fails -> edge to sink (safa.rs:108-119).
+        # In the DUAL automaton the (single-offset) skip {k} complement is
+        # "fewer than k characters remain": an edge [0, k-1] to an
+        # EOF-ONLY node (accepting with no consuming continuation — the
+        # trace accepts iff the jump lands exactly at document end).  An
+        # accept-anything target would over-accept (the fuzz caught it),
+        # since offsets other than k say nothing about the original's
+        # failure when >= k characters remain.
         if not skip.is_full() and not skip.is_nil():
-            if self.sink is None:
-                n_empty = self._add_node(Quant(R.empty(), False))
-                self.sink = n_empty
-                self._add_edge(n_empty, n_empty, epsilon())
-            self._add_edge(n, self.sink, skip_edge(skip.negate()))
+            if self._dual:
+                k = skip.is_single()
+                assert k is not None and k >= 1, "dual keeps only det skips"
+                self._add_edge(n, self._dual_eof_node(),
+                               skip_edge(OpenSet.closed(0, k - 1)))
+            else:
+                if self.sink is None:
+                    n_empty = self._add_node(Quant(R.empty(), False))
+                    self.sink = n_empty
+                    self._add_edge(n_empty, n_empty, epsilon())
+                self._add_edge(n, self.sink, skip_edge(skip.negate()))
         if recurse:
             self._add(n_c)
+
+    def _dual_eof_node(self) -> int:
+        """Accepting node with every char edge into a dead node: accepts a
+        suffix iff it is EMPTY (the complement of 'at least k chars
+        remain').  Built outside _index so it can never alias a real
+        derivative state."""
+        if self._eof_node is None:
+            dead = len(self.nodes)
+            self.nodes.append(Quant(R.empty(), False))
+            self.out_edges.append([(dead, epsilon())])
+            eof = len(self.nodes)
+            self.nodes.append(Quant(R.nil(), False))
+            self.out_edges.append([(eof, epsilon())]
+                                  + [(dead, char_edge(c)) for c in self.ab])
+            self.accepting.add(eof)
+            self._eof_node = eof
+        return self._eof_node
 
     def _add_derivatives(self, frm: int):
         self._add_edge(frm, frm, epsilon())  # self ε-loop (safa.rs:150)
@@ -148,6 +179,16 @@ class SAFA:
         if R.nullable(r) != self._dual:
             self.accepting.add(frm)
         got = R.extract_skip(r) if self._use_skips else None
+        if got is not None and self._dual:
+            # only DETERMINISTIC skips survive dualization: a single
+            # offset is a forced jump (self-dual), while a range/star
+            # skip is an existential choice whose complement is a
+            # for-all over offsets; those fall through to derivative
+            # edges.  Without this, negating `^.{500000}MOTIF...` either
+            # over-accepted (old accepting-flip) or unrolled 500k
+            # derivative states (pure skip-free rebuild).
+            if got[0].is_single() is None and not got[0].is_nil():
+                got = None
         if got is not None:
             skip, rem = got
             self._add_skip(frm, skip, rem)
@@ -239,7 +280,7 @@ class SAFA:
         state, so dualize-and-flip is the textbook alternating-automaton
         complement."""
         ab_str = "".join(chr(c) for c in self.ab)
-        return SAFA(ab_str, self.to_regex(), use_skips=False,
+        return SAFA(ab_str, self.to_regex(), use_skips=True,
                     dual=not self._dual)
 
     # ------------------------------------------------------------------
