@@ -9,6 +9,7 @@
 // are affine (x, y, infinity_flag).  curve_id 0 = Pallas (base field P),
 // 1 = Vesta (base field Q).
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>
@@ -664,6 +665,138 @@ void load_scalar_mont(const Field& sf, const uint8_t* b, Fe& o) {
   sf.to_mont(o, t);
 }
 
+// Batch projective->Montgomery-affine conversion (one Fermat inversion).
+void proj_to_affine_batch(const Field& f, const std::vector<Pt>& in,
+                          std::vector<Aff>& out) {
+  int64_t n = (int64_t)in.size();
+  out.resize(n);
+  std::vector<Fe> zs;
+  std::vector<int64_t> live;
+  zs.reserve(n);
+  live.reserve(n);
+  for (int64_t i = 0; i < n; i++) {
+    Fe zc;
+    f.from_mont(zc, in[i].Z);
+    if (!(zc.v[0] | zc.v[1] | zc.v[2] | zc.v[3])) {
+      out[i].inf = true;
+    } else {
+      out[i].inf = false;
+      zs.push_back(in[i].Z);
+      live.push_back(i);
+    }
+  }
+  f.inv_batch(zs.data(), (int64_t)zs.size());
+  for (size_t k = 0; k < live.size(); k++) {
+    int64_t i = live[k];
+    f.mul(out[i].x, in[i].X, zs[k]);
+    f.mul(out[i].y, in[i].Y, zs[k]);
+  }
+}
+
+// Collapse the expanded-coefficient view into an actual folded basis of the
+// current size n.  After any sequence of halving folds, coeff[j] depends
+// only on t = j / n (each fold factor compares a bit of j ABOVE log2(n)),
+// so G'_i = sum_t c_t * basis[t*n + i] with the SAME g = n_orig/n scalars
+// for every output i.  Lockstep NAF double-and-add across outputs turns the
+// per-round O(n_orig) indexed MSMs into O(n) rounds afterwards: total IPA
+// work drops from n*log(n) to ~3n Pippenger-equivalent points.
+void ipa_materialize(IpaCtx* ctx) {
+  Curve& cv = *get_curve(ctx->curve_id);
+  const Field& bf = cv.f;
+  const Field& sf = *scalar_field(ctx->curve_id);
+  int64_t n = ctx->n, no = ctx->n_orig;
+  int64_t g = no / n;
+  if (g <= 1) return;
+
+  // NAF digits of the g shared coefficients (canonical form)
+  std::vector<int8_t> naf((size_t)g * 256, 0);
+  int hi = 0;
+  for (int64_t t = 0; t < g; t++) {
+    Fe c;
+    sf.from_mont(c, ctx->coeff[t * n]);
+    u64 k[5] = {c.v[0], c.v[1], c.v[2], c.v[3], 0};
+    int8_t* d = naf.data() + (size_t)t * 256;
+    for (int b = 0; b < 256; b++) {
+      if (!(k[0] | k[1] | k[2] | k[3] | k[4])) break;
+      if (k[0] & 1) {
+        int8_t dig = 2 - (int8_t)(k[0] & 3);  // 1 if k%4==1, -1 if k%4==3
+        d[b] = dig;
+        if (dig == 1) {
+          // k -= 1
+          int i = 0;
+          while (k[i] == 0) k[i++] = ~0ULL;
+          k[i] -= 1;
+        } else {
+          // k += 1
+          int i = 0;
+          while (k[i] == ~0ULL) k[i++] = 0;
+          k[i] += 1;
+        }
+        if (b > hi) hi = b;
+      }
+      // k >>= 1
+      for (int i = 0; i < 4; i++) k[i] = (k[i] >> 1) | (k[i + 1] << 63);
+      k[4] >>= 1;
+    }
+  }
+
+  std::vector<Pt> accs(n);
+  auto worker = [&](int64_t lo_i, int64_t hi_i) {
+    std::vector<Pt> lifted(g), lneg(g);
+    for (int64_t i = lo_i; i < hi_i; i++) {
+      for (int64_t t = 0; t < g; t++) {
+        const Aff& a = ctx->basis[t * n + i];
+        if (a.inf) {
+          lifted[t] = cv.ident;
+          lneg[t] = cv.ident;
+        } else {
+          lifted[t].X = a.x;
+          lifted[t].Y = a.y;
+          memcpy(lifted[t].Z.v, bf.c.one_m, 32);
+          lneg[t] = lifted[t];
+          bf.neg(lneg[t].Y, lneg[t].Y);
+        }
+      }
+      Pt acc = cv.ident;
+      for (int b = hi; b >= 0; b--) {
+        cv.padd(acc, acc, acc);
+        for (int64_t t = 0; t < g; t++) {
+          int8_t dg = naf[(size_t)t * 256 + b];
+          if (dg > 0)
+            cv.padd(acc, acc, lifted[t]);
+          else if (dg < 0)
+            cv.padd(acc, acc, lneg[t]);
+        }
+      }
+      accs[i] = acc;
+    }
+  };
+
+  int n_threads = (int)std::thread::hardware_concurrency();
+  const char* tenv = getenv("REEF_MSM_THREADS");
+  if (tenv) n_threads = atoi(tenv);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 1 && n >= 64) {
+    std::vector<std::thread> threads;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo_i = t * chunk, hi_i = std::min(n, lo_i + chunk);
+      if (lo_i >= hi_i) break;
+      threads.emplace_back(worker, lo_i, hi_i);
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    worker(0, n);
+  }
+
+  std::vector<Aff> nb;
+  proj_to_affine_batch(bf, accs, nb);
+  ctx->basis.swap(nb);
+  ctx->n_orig = n;
+  for (int64_t j = 0; j < n; j++) memcpy(ctx->coeff[j].v, sf.c.one_m, 32);
+  ctx->coeff.resize(n);
+}
+
 }  // namespace
 
 extern "C" {
@@ -695,6 +828,17 @@ void* ipa_init(int curve_id, int64_t n, const uint8_t* w_bytes,
 void ipa_cross(void* h, uint8_t* cL_out, uint8_t* cR_out, uint8_t* L_out,
                uint8_t* R_out) {
   IpaCtx* ctx = (IpaCtx*)h;
+  // Lazily collapse the coefficient view into a real folded basis once the
+  // ratio n_orig/n reaches the threshold: later rounds then cost O(n_k)
+  // instead of O(n_orig) each.  REEF_IPA_MAT_G tunes (0 disables); the
+  // emitted L/R points are bit-identical either way.
+  {
+    int64_t G = 8;
+    const char* genv = getenv("REEF_IPA_MAT_G");
+    if (genv) G = atoll(genv);
+    if (G > 1 && ctx->n >= 2 && ctx->n_orig / ctx->n >= G)
+      ipa_materialize(ctx);
+  }
   Curve& cv = *get_curve(ctx->curve_id);
   const Field& sf = *scalar_field(ctx->curve_id);
   int64_t n = ctx->n, half = n / 2, no = ctx->n_orig;

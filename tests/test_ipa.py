@@ -55,3 +55,46 @@ def test_hyrax_eval_with_ipa():
     bad_commit = pc.sc_gens.commit([(v + 1) % f.p], v_blind)
     assert not pc.verify_eval(commit, q, bad_commit, proof,
                               C.Transcript(b"t"))
+
+
+def test_native_ipa_materialization_bit_identical():
+    """Basis materialization (REEF_IPA_MAT_G) is transparent: the round
+    outputs (cL, cR, L, R) and the final folded scalar must be bit-identical
+    to the unmaterialized indexed-MSM path for every threshold."""
+    import os
+
+    from reef_tpu.ec import native_msm as NM
+    from reef_tpu.ec.pasta import PALLAS, VESTA
+
+    if NM._load() is None:
+        pytest.skip("native msm unavailable")
+
+    for cv in (PALLAS, VESTA):
+        n = 256
+        gens = C.PedersenGens(cv, b"ipa_mat_test", n)
+        packed = bytes(gens.packed_G())
+        p = cv.order
+        w = [RNG.randrange(p) for _ in range(n)]
+        R = [RNG.randrange(p) for _ in range(n)]
+        xs = [RNG.randrange(1, p) for _ in range(8)]
+        outs = {}
+        old = os.environ.get("REEF_IPA_MAT_G")
+        try:
+            for G in (0, 2, 4, 8):
+                os.environ["REEF_IPA_MAT_G"] = str(G)
+                eng = NM.IpaNative(cv, w, R, packed)
+                seq = []
+                for x in xs:
+                    seq.append(eng.cross())
+                    eng.fold(x)
+                seq.append(eng.final())
+                eng.close()
+                outs[G] = seq
+        finally:
+            if old is None:
+                os.environ.pop("REEF_IPA_MAT_G", None)
+            else:
+                os.environ["REEF_IPA_MAT_G"] = old
+        assert outs[2] == outs[0]
+        assert outs[4] == outs[0]
+        assert outs[8] == outs[0]
