@@ -200,7 +200,18 @@ class ConstraintSystem:
 
     def poseidon_perm(self, state: List[LC], t: int = 5) -> List[LC]:
         """In-circuit Poseidon permutation; ARC+MDS folded into LCs, 3
-        constraints per S-box (288 for t=5, matching costs.rs:115-138)."""
+        constraints per S-box (288 for t=5, matching costs.rs:115-138).
+
+        Instances are stamped from a per-(field, t) template (one symbolic
+        build, then pure wire renumbering): permutation gadgets dominated
+        circuit BUILD time (~3s/process of big-int LC mixing for the
+        augmented step circuit's ~112 permutations)."""
+        tpl = _poseidon_template(self.f, t)
+        return tpl.stamp(self, state)
+
+    def _poseidon_perm_build(self, state: List[LC], t: int = 5) -> List[LC]:
+        """Direct gadget construction (used once per (field, t) to build the
+        stamping template)."""
         p = self.f.p
         rc, mds = poseidon_params(p, t)
         r_f, r_p = FULL_ROUNDS, PARTIAL_ROUNDS[t]
@@ -254,6 +265,91 @@ class ConstraintSystem:
             if rnd % 8 == 7:
                 s = [rebind(x) for x in s]
         return s
+
+
+class _PoseidonTemplate:
+    """One symbolic build of the t-wide permutation gadget, stampable into
+    any ConstraintSystem over the same field by wire renumbering.
+
+    Template wire layout: 0 = ONE, 1..t = inputs, t+1.. = aux in computer
+    order.  Every aux wire carries a native op descriptor (("mul", a, b) or
+    ("lc", lc)), so stamped witness closures are regenerated generically —
+    the stamped instance is wire-for-wire identical to a direct build (plus
+    one binding wire per input LC that is not already a bare wire)."""
+
+    def __init__(self, field: F.HostField, t: int):
+        cs = ConstraintSystem(field)
+        ins = [cs.input(f"in{i}") for i in range(t)]
+        outs = cs._poseidon_perm_build(ins, t)
+        self.f = field
+        self.t = t
+        self.n_vars = cs.n_vars
+        self.n_aux = cs.n_vars - 1 - t
+        self.constraints = [
+            (tuple(a.keys()), tuple(a.values()), tuple(b.keys()),
+             tuple(b.values()), tuple(c.keys()), tuple(c.values()))
+            for a, b, c in cs.constraints]
+        self.computers = []
+        for idx, _fn, op in cs.computers:
+            assert op is not None and op[0] in ("mul", "lc"), \
+                "poseidon template requires native op descriptors"
+            self.computers.append((idx, op))
+        self.outs = [(tuple(o.keys()), tuple(o.values())) for o in outs]
+
+    def stamp(self, cs: ConstraintSystem, state: List[LC]) -> List[LC]:
+        p = self.f.p
+        assert cs.f.p == p and len(state) == self.t
+        m = [0] * self.n_vars
+        seen = set()        # two inputs mapped to the SAME wire would make
+        for i, lc in enumerate(state):   # dict(zip(..)) drop coefficients
+            if len(lc) == 1:
+                (k, v), = lc.items()
+                if v % p == 1 and k != 0 and k not in seen:
+                    m[1 + i] = k
+                    seen.add(k)
+                    continue
+            w = cs.aux("", lambda z, lc=lc: cs.eval_lc(lc, z),
+                       op=("lc", lc))
+            cs.enforce_eq(w, lc)
+            (m[1 + i],) = w
+            seen.add(m[1 + i])
+        base = cs.n_vars
+        cs.n_vars += self.n_aux
+        for j in range(self.n_aux):
+            m[1 + self.t + j] = base + j
+
+        app = cs.constraints.append
+        for ak, av, bk, bv, ck, cv in self.constraints:
+            app((dict(zip([m[k] for k in ak], av)),
+                 dict(zip([m[k] for k in bk], bv)),
+                 dict(zip([m[k] for k in ck], cv))))
+
+        capp = cs.computers.append
+        for idx, op in self.computers:
+            if op[0] == "mul":
+                a = {m[k]: v for k, v in op[1].items()}
+                b = {m[k]: v for k, v in op[2].items()}
+                capp((m[idx],
+                      lambda z, a=a, b=b: cs.eval_lc(a, z)
+                      * cs.eval_lc(b, z) % p, ("mul", a, b)))
+            else:
+                lc = {m[k]: v for k, v in op[1].items()}
+                capp((m[idx], lambda z, lc=lc: cs.eval_lc(lc, z),
+                      ("lc", lc)))
+
+        return [dict(zip([m[k] for k in ok], ov)) for ok, ov in self.outs]
+
+
+_POSEIDON_TEMPLATES: Dict[Tuple[int, int], _PoseidonTemplate] = {}
+
+
+def _poseidon_template(field: F.HostField, t: int) -> _PoseidonTemplate:
+    key = (field.p, t)
+    tpl = _POSEIDON_TEMPLATES.get(key)
+    if tpl is None:
+        tpl = _PoseidonTemplate(field, t)
+        _POSEIDON_TEMPLATES[key] = tpl
+    return tpl
 
 
 class CircuitSponge:

@@ -87,3 +87,61 @@ def test_sponge_rate_overflow_permutes():
     out = sp.squeeze(5)            # 5 > rate 4: forces permute mid-squeeze
     assert len(out) == 5 and len(set(out)) == 5
     assert all(0 <= o < f.p for o in out)
+
+
+def test_circuit_poseidon_template_equivalence():
+    """The stamped permutation gadget (template path) evaluates identically
+    to a direct gadget build AND to the host permutation, for bare-wire and
+    mixed-LC inputs, at both sponge widths."""
+    import random
+
+    from reef_tpu.backend.r1cs import ConstraintSystem, lc_add, lc_const
+
+    rng = random.Random(11)
+    for t in (5, 9):
+        for mixed in (False, True):
+            vals = [rng.randrange(F.Q) for _ in range(t)]
+
+            def build(direct):
+                cs = ConstraintSystem(F.FQ)
+                ins = [cs.input(f"x{i}") for i in range(t)]
+                if mixed:
+                    # non-bare inputs force stamp's binding-wire path
+                    state = [lc_add(ins[i], lc_const(i + 1))
+                             for i in range(t)]
+                    xs = [(v - (i + 1)) % F.Q for i, v in enumerate(vals)]
+                else:
+                    state = ins
+                    xs = vals
+                outs = (cs._poseidon_perm_build(state, t) if direct
+                        else cs.poseidon_perm(state, t))
+                from reef_tpu.backend.r1cs import CompiledCircuit
+                cc = CompiledCircuit(cs)
+                z = cc.witness({f"x{i}": xs[i] for i in range(t)})
+                assert cc.check_all(z) is None
+                return [cs.eval_lc(o, z) for o in outs]
+
+            got_direct = build(True)
+            got_stamped = build(False)
+            assert got_direct == got_stamped
+            assert got_stamped == list(host_permutation(F.Q, vals))
+
+
+def test_circuit_poseidon_stamp_duplicate_input_wires():
+    """Two sponge lanes carrying the SAME wire must not lose coefficients
+    in the stamped constraint rows (input-collision guard)."""
+    import random
+
+    from reef_tpu.backend.r1cs import CompiledCircuit, ConstraintSystem
+
+    rng = random.Random(12)
+    v = rng.randrange(F.Q)
+    cs = ConstraintSystem(F.FQ)
+    x = cs.input("x")
+    state = [x, x, x, x, x]
+    outs = cs.poseidon_perm(state, 5)
+    cc = CompiledCircuit(cs)
+    z = cc.witness({"x": v})
+    assert cc.check_all(z) is None
+    got = [cs.eval_lc(o, z) for o in outs]
+    assert got == list(host_permutation(F.Q, [v] * 5))
