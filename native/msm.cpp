@@ -373,7 +373,8 @@ Field* scalar_field(int curve_id) {
 // MSM over loaded Montgomery-affine points; scalars n * 32 bytes LE
 // (standard form, already reduced mod the group order).
 void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
-              const std::vector<Aff>& pts, Pt& result_out) {
+              const std::vector<Aff>& pts, Pt& result_out,
+              int force_threads = 0) {
   const Field& f = cv.f;
   int c;
   const char* cenv = getenv("REEF_MSM_C");
@@ -385,7 +386,24 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
     if (c < 4) c = 4;
     if (c > 16) c = 16;
   }
-  int windows = (256 + c - 1) / c;  // >= 256 bits so the top carry is free
+  // cap the window count by the actual scalar magnitude: doc commitments
+  // feed alphabet-code scalars (< 2^6), for which the fixed 256-bit
+  // recode + per-window bucket combines were ~95% wasted work
+  int bits = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* s = scalars + i * 32;
+    for (int by = 31; by >= bits / 8; by--) {
+      if (s[by]) {
+        int b = by * 8 + 7;
+        while (b > 0 && !((s[by] >> (b & 7)) & 1)) b--;
+        if (b + 1 > bits) bits = b + 1;
+        break;
+      }
+    }
+  }
+  if (bits + 1 < c) c = bits + 1 > 2 ? bits + 1 : 2;
+  int windows = (bits + 1 + c - 1) / c;  // +1: signed-digit top carry
+  if (windows < 1) windows = 1;
   int64_t B = 1LL << (c - 1);      // signed buckets 1..B
 
   // signed digit recoding with carry (digits in [-2^(c-1), 2^(c-1)]);
@@ -463,10 +481,15 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
     accs[w] = acc;
   };
 
-  int n_threads = (int)std::thread::hardware_concurrency();
-  const char* tenv = getenv("REEF_MSM_THREADS");
-  if (tenv) n_threads = atoi(tenv);
-  if (n_threads < 1) n_threads = 1;
+  int n_threads;
+  if (force_threads > 0) {
+    n_threads = force_threads;
+  } else {
+    n_threads = (int)std::thread::hardware_concurrency();
+    const char* tenv = getenv("REEF_MSM_THREADS");
+    if (tenv) n_threads = atoi(tenv);
+    if (n_threads < 1) n_threads = 1;
+  }
   if (n_threads > windows) n_threads = windows;
   if (n_threads > 1 && n >= 256) {
     std::vector<std::thread> threads;
@@ -501,6 +524,34 @@ void load_affine(const Field& f, const uint8_t* pp, Aff& a) {
   f.to_mont(a.x, x);
   f.to_mont(a.y, y);
   a.inf = false;
+}
+
+// Batch projective->Montgomery-affine conversion (one Fermat inversion).
+void proj_to_affine_batch(const Field& f, const std::vector<Pt>& in,
+                          std::vector<Aff>& out) {
+  int64_t n = (int64_t)in.size();
+  out.resize(n);
+  std::vector<Fe> zs;
+  std::vector<int64_t> live;
+  zs.reserve(n);
+  live.reserve(n);
+  for (int64_t i = 0; i < n; i++) {
+    Fe zc;
+    f.from_mont(zc, in[i].Z);
+    if (!(zc.v[0] | zc.v[1] | zc.v[2] | zc.v[3])) {
+      out[i].inf = true;
+    } else {
+      out[i].inf = false;
+      zs.push_back(in[i].Z);
+      live.push_back(i);
+    }
+  }
+  f.inv_batch(zs.data(), (int64_t)zs.size());
+  for (size_t k = 0; k < live.size(); k++) {
+    int64_t i = live[k];
+    f.mul(out[i].x, in[i].X, zs[k]);
+    f.mul(out[i].y, in[i].Y, zs[k]);
+  }
 }
 
 void store_proj(const Field& f, const Pt& result, uint8_t* out) {
@@ -538,6 +589,99 @@ void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
 void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
                const uint8_t* points, uint8_t* out) {
   pasta_msm_idx(curve_id, n, scalars, points, nullptr, out);
+}
+
+// Row-batched Pedersen commits (the Hyrax matrix commit): out[r] is the
+// AFFINE point  sum_j scalars[r*n_cols+j] * basis[j]  +  blinds[r] * H.
+// One call loads the shared basis once and threads across rows (the
+// per-row python MSM calls each re-packed scalars, re-converted the basis
+// to Montgomery and spawned threads).  The blind term uses a fixed-base
+// window table of H so full-width blinds do not widen the row MSM's
+// magnitude-capped windows.
+void pasta_msm_rows(int curve_id, int64_t n_rows, int64_t n_cols,
+                    const uint8_t* scalars, const uint8_t* basis_packed,
+                    const uint8_t* blinds, const uint8_t* h_packed,
+                    uint8_t* out) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+  std::vector<Aff> basis(n_cols);
+  for (int64_t j = 0; j < n_cols; j++)
+    load_affine(f, basis_packed + 65 * j, basis[j]);
+  Aff h_aff;
+  load_affine(f, h_packed, h_aff);
+
+  // fixed-base table for H: T[w][d] = d * 2^(8w) * H, d in 0..255
+  const int HB = 8, HW = 32;
+  std::vector<Pt> htab((size_t)HW * 256);
+  {
+    Pt base;
+    if (h_aff.inf) {
+      base = cv.ident;
+    } else {
+      base.X = h_aff.x;
+      base.Y = h_aff.y;
+      memcpy(base.Z.v, f.c.one_m, 32);
+    }
+    for (int w = 0; w < HW; w++) {
+      htab[(size_t)w * 256] = cv.ident;
+      for (int d = 1; d < 256; d++)
+        cv.padd(htab[(size_t)w * 256 + d], htab[(size_t)w * 256 + d - 1],
+                base);
+      for (int k = 0; k < HB; k++) cv.padd(base, base, base);
+    }
+  }
+
+  std::vector<Pt> results(n_rows);
+  auto worker = [&](int64_t lo_r, int64_t hi_r) {
+    for (int64_t r = lo_r; r < hi_r; r++) {
+      Pt acc;
+      msm_core(cv, n_cols, scalars + r * n_cols * 32, basis, acc,
+               /*force_threads=*/1);
+      const uint8_t* bl = blinds + r * 32;
+      for (int w = 0; w < HW; w++) {
+        uint8_t d = bl[w];
+        if (d) cv.padd(acc, acc, htab[(size_t)w * 256 + d]);
+      }
+      results[r] = acc;
+    }
+  };
+  int n_threads = (int)std::thread::hardware_concurrency();
+  const char* tenv = getenv("REEF_MSM_THREADS");
+  if (tenv) n_threads = atoi(tenv);
+  if (n_threads < 1) n_threads = 1;
+  if ((int64_t)n_threads > n_rows) n_threads = (int)n_rows;
+  if (n_threads > 1) {
+    std::vector<std::thread> threads;
+    std::atomic<int64_t> next(0);
+    int64_t chunk = 8;
+    for (int t = 0; t < n_threads; t++) {
+      threads.emplace_back([&]() {
+        int64_t lo_r;
+        while ((lo_r = next.fetch_add(chunk)) < n_rows)
+          worker(lo_r, std::min(n_rows, lo_r + chunk));
+      });
+    }
+    for (auto& th : threads) th.join();
+  } else {
+    worker(0, n_rows);
+  }
+
+  std::vector<Aff> aff;
+  proj_to_affine_batch(f, results, aff);
+  for (int64_t r = 0; r < n_rows; r++) {
+    uint8_t* op = out + r * 65;
+    if (aff[r].inf) {
+      memset(op, 0, 65);
+      op[64] = 1;
+      continue;
+    }
+    Fe xa, ya;
+    f.from_mont(xa, aff[r].x);
+    f.from_mont(ya, aff[r].y);
+    memcpy(op, xa.v, 32);
+    memcpy(op + 32, ya.v, 32);
+    op[64] = 0;
+  }
 }
 
 // Batched basis fold for the IPA: out[i] = xi*lo[i] + x*hi[i], affine out.
@@ -663,34 +807,6 @@ void load_scalar_mont(const Field& sf, const uint8_t* b, Fe& o) {
   Fe t;
   memcpy(t.v, b, 32);
   sf.to_mont(o, t);
-}
-
-// Batch projective->Montgomery-affine conversion (one Fermat inversion).
-void proj_to_affine_batch(const Field& f, const std::vector<Pt>& in,
-                          std::vector<Aff>& out) {
-  int64_t n = (int64_t)in.size();
-  out.resize(n);
-  std::vector<Fe> zs;
-  std::vector<int64_t> live;
-  zs.reserve(n);
-  live.reserve(n);
-  for (int64_t i = 0; i < n; i++) {
-    Fe zc;
-    f.from_mont(zc, in[i].Z);
-    if (!(zc.v[0] | zc.v[1] | zc.v[2] | zc.v[3])) {
-      out[i].inf = true;
-    } else {
-      out[i].inf = false;
-      zs.push_back(in[i].Z);
-      live.push_back(i);
-    }
-  }
-  f.inv_batch(zs.data(), (int64_t)zs.size());
-  for (size_t k = 0; k < live.size(); k++) {
-    int64_t i = live[k];
-    f.mul(out[i].x, in[i].X, zs[k]);
-    f.mul(out[i].y, in[i].Y, zs[k]);
-  }
 }
 
 // Collapse the expanded-coefficient view into an actual folded basis of the

@@ -218,6 +218,17 @@ class PedersenGens:
                 base = cv.msm(list(values), self.G[:len(values)])
         return cv.add(cv.mul(blind, self.H), base)
 
+    def commit_rows(self, flat: List[int], blinds: List[int]
+                    ) -> Optional[List[Point]]:
+        """All row commitments of a matrix in ONE native call (basis loaded
+        once, rows threaded, magnitude-capped windows — the Hyrax doc
+        commit); returns None when the native library is unavailable."""
+        from ..ec.native_msm import msm_rows
+        n_rows = len(blinds)
+        assert n_rows and len(flat) == n_rows * len(self.G)
+        return msm_rows(self.cv, n_rows, len(self.G), flat, blinds,
+                        self.packed_G(), self.H)
+
 
 def eq_evals(f: F.HostField, point: List[int]) -> List[int]:
     """All 2^l values of ~eq(point, bits(j)), point MSB-first."""
@@ -299,10 +310,11 @@ class HyraxPC:
         if blinds is None:
             import secrets
             blinds = [secrets.randbelow(self.f.p) for _ in range(self.n_rows)]
-        rows = []
-        for j in range(self.n_rows):
-            row = coeffs[j * self.n_cols:(j + 1) * self.n_cols]
-            rows.append(self.vec_gens.commit(row, blinds[j]))
+        rows = self.vec_gens.commit_rows(coeffs, blinds)
+        if rows is None:
+            rows = [self.vec_gens.commit(
+                        coeffs[j * self.n_cols:(j + 1) * self.n_cols],
+                        blinds[j]) for j in range(self.n_rows)]
         return HyraxCommitment(rows, self.n_vars, self.l_left,
                                self.l_right), blinds
 

@@ -40,6 +40,11 @@ def _load() -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.c_char_p]
         lib.pasta_fold_points.restype = None
+        lib.pasta_msm_rows.restype = None
+        lib.pasta_msm_rows.argtypes = [ctypes.c_int, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_char_p,
+                                       ctypes.c_char_p, ctypes.c_char_p,
+                                       ctypes.c_char_p, ctypes.c_char_p]
         lib.ipa_init.restype = ctypes.c_void_p
         lib.ipa_init.argtypes = [ctypes.c_int, ctypes.c_int64,
                                  ctypes.c_char_p, ctypes.c_char_p,
@@ -214,6 +219,29 @@ def msm_packed(curve, scalars: List[int], packed: bytes,
     p = curve.p
     zi = pow(Z, p - 2, p)
     return (X * zi % p, Y * zi % p)
+
+
+def msm_rows(curve, n_rows: int, n_cols: int, flat_scalars,
+             blinds: List[int], packed_basis: bytes,
+             H) -> Optional[List[Optional[tuple]]]:
+    """Row-batched Pedersen commits: [<flat[r*n_cols:(r+1)*n_cols], G> +
+    blinds[r]*H for r in rows] in one native call (shared basis load, rows
+    threaded, blind via a fixed-base table).  None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .pasta import PALLAS
+    curve_id = 0 if curve is PALLAS else 1
+    sbuf, n = _scalar_buf(curve, flat_scalars)
+    assert n == n_rows * n_cols
+    bbuf, nb = _scalar_buf(curve, blinds)
+    assert nb == n_rows
+    hbuf = bytes(_pack_points([H]))
+    out = ctypes.create_string_buffer(65 * n_rows)
+    lib.pasta_msm_rows(ctypes.c_int(curve_id), ctypes.c_int64(n_rows),
+                       ctypes.c_int64(n_cols), sbuf, packed_basis, bbuf,
+                       hbuf, out)
+    return _unpack_points(bytearray(out.raw), n_rows)
 
 
 def msm_native(curve, scalars: List[int], points) -> Optional[tuple]:

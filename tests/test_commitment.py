@@ -106,3 +106,21 @@ def test_final_clear_checks():
     assert C.final_clear_checks(0, table, q, v)
     assert not C.final_clear_checks(1, table, q, v)
     assert not C.final_clear_checks(0, table, q, v + 1)
+
+
+def test_hyrax_commit_rows_matches_per_row():
+    """The row-batched native commit path (PedersenGens.commit_rows) is
+    bit-identical to per-row commits, for full-width and tiny (alphabet
+    code) scalars."""
+    import random
+
+    rng = random.Random(9)
+    pc = C.HyraxPC(b"rows_eq_test", 8)     # 16x16
+    for bound in (C.F.Q, 32):
+        coeffs = [rng.randrange(bound) for _ in range(1 << 8)]
+        blinds = [rng.randrange(C.F.Q) for _ in range(pc.n_rows)]
+        commit, _ = pc.commit(coeffs, blinds)
+        ref = [pc.vec_gens.commit(
+                   coeffs[j * pc.n_cols:(j + 1) * pc.n_cols], blinds[j])
+               for j in range(pc.n_rows)]
+        assert commit.row_commits == ref
