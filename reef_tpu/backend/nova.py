@@ -89,8 +89,11 @@ class R1CSShape:
 
         h = hashlib.sha256()
         for mat in (self.A, self.B, self.C):
-            for t in mat:
-                h.update(b"%d,%d,%d;" % t)
+            h.update(len(mat).to_bytes(8, "little"))
+            for (i, j, v) in mat:
+                h.update(i.to_bytes(4, "little"))
+                h.update(j.to_bytes(4, "little"))
+                h.update(v.to_bytes(32, "little"))
         self.digest = int.from_bytes(h.digest()[:16], "big")
 
     def wit_index(self, name: str) -> int:
