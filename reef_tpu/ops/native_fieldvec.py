@@ -39,7 +39,8 @@ def _load() -> Optional[ctypes.CDLL]:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+                ["g++", "-O3", "-funroll-loops", "-mbmi2", "-madx", "-shared",
+                 "-fPIC", "-std=c++17", src,
                  "-o", so],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so)
