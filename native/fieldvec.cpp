@@ -579,6 +579,12 @@ void fv_witness(uint8_t* z, const i64* lc_off, const i64* lc_cols,
   }
 }
 
+// out[k] = buf[idx[k]] (32B elements); the packed-witness gather that
+// avoids an int round-trip when splitting wires into (W, x)
+void fv_gather(uint8_t* out, const uint8_t* buf, const i64* idx, i64 n) {
+  for (i64 k = 0; k < n; k++) memcpy(out + 32 * k, buf + 32 * idx[k], 32);
+}
+
 void fv_dot(uint8_t* out, const uint8_t* a, const uint8_t* b, i64 n,
             int field) {
   const Field& f = F(field);

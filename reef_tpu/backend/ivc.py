@@ -127,10 +127,12 @@ class FoldAccumulator:
         self._bz = [0] * n
         self._cz = [0] * n
 
-    def init_from_strict(self, u: StrictInstance, W: List[int], blind: int):
+    def init_from_strict(self, u: StrictInstance, W, blind: int):
         """Base case: U = relax(u) (E = 0, u-scalar = 1)."""
+        from ..ops.native_fieldvec import PackedVec
+        Wk = W if isinstance(W, PackedVec) else list(W)
         self.U = RelaxedInstance(u.comm_W, None, 1, list(u.x))
-        self.Wit = RelaxedWitness(list(W), [0] * self.shape.n_cons, blind, 0)
+        self.Wit = RelaxedWitness(Wk, [0] * self.shape.n_cons, blind, 0)
         self._az, self._bz, self._cz = self._vectors(W, 1, u.x)
 
     def _vectors(self, W, u, x):
@@ -361,14 +363,16 @@ class RecursiveSNARK(_CkptMixin):
         inputs = dict(app_wits)
         inputs.update(self.aug.ivc_witness(self.pp, self.z0, U2_for_circ,
                                            u2_for_circ, T2))
-        wires = self.aug.compiled.witness(inputs)
+        wires = self.aug.compiled.witness_packed(inputs)
         if check:
-            bad = self.aug.compiled.check_all(wires)
+            bad = self.aug.compiled.check_all(list(wires))
             assert bad is None, f"primary constraint {bad} unsatisfied"
         W1, x1 = self.shape1.split_wires(wires)
         comm_W1, blind1 = self.wc1.commit(W1)
         u1 = StrictInstance(comm_W1, x1)
-        z_next = [wires[j] % F.Q for j in self._zout_idx]
+        at = (wires.at if hasattr(wires, "at")
+              else lambda j: wires[j] % F.Q)
+        z_next = [at(j) for j in self._zout_idx]
 
         # 3. fold u1 into U1
         if i == 0:
@@ -381,9 +385,9 @@ class RecursiveSNARK(_CkptMixin):
 
         # 4. secondary circuit
         inputs2 = self.sec.witness(self.pp, i, U1_for_circ, u1, T1)
-        wires2 = self.sec.compiled.witness(inputs2)
+        wires2 = self.sec.compiled.witness_packed(inputs2)
         if check:
-            bad = self.sec.compiled.check_all(wires2)
+            bad = self.sec.compiled.check_all(list(wires2))
             assert bad is None, f"secondary constraint {bad} unsatisfied"
         W2, x2 = self.shape2.split_wires(wires2)
         comm_W2, blind2 = self.wc2.commit(W2)

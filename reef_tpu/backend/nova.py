@@ -86,6 +86,7 @@ class R1CSShape:
 
         self._wit_cols = wit_cols
         self._io_idx = io_idx
+        self._wit_cols_c = None       # lazy ctypes i64 array for gathers
 
         h = hashlib.sha256()
         for mat in (self.A, self.B, self.C):
@@ -101,15 +102,31 @@ class R1CSShape:
         idx = self.circuit.cs.names[name]
         return self._wit_cols.index(idx)
 
-    def split_wires(self, wires: List[int]) -> Tuple[List[int], List[int]]:
-        """Full circuit wire vector -> (W, x)."""
+    def split_wires(self, wires) -> Tuple[List[int], List[int]]:
+        """Full circuit wire vector -> (W, x); a PackedVec stays packed
+        (C memcpy gather) all the way into the commit MSMs."""
+        from ..ops import native_fieldvec as FV
+        if isinstance(wires, FV.PackedVec) and FV.available():
+            if self._wit_cols_c is None:
+                self._wit_cols_c = FV._c_i64(self._wit_cols)
+            W = FV.gather_packed(wires, self._wit_cols_c, self.n_wit)
+            x = [wires.at(i) for i in self._io_idx]
+            return W, x
         W = [wires[i] % self.f.p for i in self._wit_cols]
         x = [wires[i] % self.f.p for i in self._io_idx]
         return W, x
 
-    def z_vector(self, W: List[int], u: int, x: List[int]) -> List[int]:
+    def z_vector(self, W, u: int, x: List[int]):
+        from ..ops import native_fieldvec as FV
+        p = self.f.p
+        if isinstance(W, FV.PackedVec) and W.p == p:
+            raw = (W.raw + b"\0" * (32 * (self.w_pad - W.n))
+                   + (u % p).to_bytes(32, "little")
+                   + b"".join((xi % p).to_bytes(32, "little") for xi in x))
+            raw += b"\0" * (32 * 2 * self.w_pad - len(raw))
+            return FV.PackedVec(raw, 2 * self.w_pad, p)
         pad = [0] * (self.w_pad - len(W))
-        z = list(W) + pad + [u % self.f.p] + list(x)
+        z = list(W) + pad + [u % p] + list(x)
         return z + [0] * (2 * self.w_pad - len(z))
 
     def matvec(self, M, z: List[int]) -> List[int]:

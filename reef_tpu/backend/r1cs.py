@@ -421,6 +421,25 @@ class CompiledCircuit:
             z[idx] = fn(z) % cs.f.p
         return z
 
+    def witness_packed(self, inputs: Dict[str, int]):
+        """witness() returning a PackedVec when the native program is
+        available (skips the full int round-trip; see run_packed), a plain
+        int list otherwise."""
+        cs = self.cs
+        z = [0] * cs.n_vars
+        z[0] = 1
+        missing = [n for n in cs.input_names if n not in inputs]
+        assert not missing, f"missing inputs: {missing[:10]}"
+        for name in cs.input_names:
+            z[cs.names[name]] = inputs[name] % cs.f.p
+        from ..ops import native_fieldvec as FV
+        prog = FV.witness_program(cs) if FV.available() else None
+        if prog is not None:
+            return prog.run_packed(z, inputs)
+        for idx, fn, _op in cs.computers:
+            z[idx] = fn(z) % cs.f.p
+        return z
+
     def outputs(self, z: List[int]) -> List[int]:
         return [self.cs.eval_lc(lc, z) for lc in self.output_lcs]
 

@@ -116,11 +116,18 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     m = 1 << ell_m
     z = shape.z_vector(Wit.W, U.u, U.x)
 
+    from ..ops.native_fieldvec import PackedVec
+
+    def _pad(vec, n):
+        if isinstance(vec, PackedVec):
+            return vec.pad_to(n)
+        return list(vec) + [0] * (n - len(vec))
+
     az, bz, cz = shape.matvecs(z)
-    az = az + [0] * (m - shape.n_cons)
-    bz = bz + [0] * (m - shape.n_cons)
-    cz = cz + [0] * (m - shape.n_cons)
-    e = list(Wit.E) + [0] * (m - shape.n_cons)
+    az = _pad(az, m)
+    bz = _pad(bz, m)
+    cz = _pad(cz, m)
+    e = _pad(Wit.E, m)
 
     tau = [t.challenge(b"tau_%d" % j, p) for j in range(ell_m)]
 
@@ -190,7 +197,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
         for coeff, mat in ((1, mats[0]), (rr, mats[1]),
                            (rr * rr % p, mats[2])):
             mat.mtab_accum(mtab_m.buf, eq_rx_m.buf, coeff)
-        ztab_m = FV.MontTable(z + [0] * (nz - len(z)), p)
+        ztab_m = FV.MontTable(_pad(z, nz), p)
         for rnd in range(ell_z):
             evals = FV.sc2_evals(mtab_m, ztab_m, p)
             assert (evals[0] + evals[1]) % p == claim2 % p
@@ -227,7 +234,7 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
             ztab = _fold_table(ztab, r, p)
 
     # W eval at ry[1:]
-    w_pad = list(Wit.W) + [0] * (wc.n - len(Wit.W))
+    w_pad = _pad(Wit.W, wc.n)
     if native:
         vW = FV.dot(w_pad, FV.eq_evals_native(ry[1:], p), p)
     else:
@@ -247,8 +254,8 @@ def spartan_prove(shape: R1CSShape, wc: VectorCommitter, ec: VectorCommitter,
     gamma = t.challenge(b"gamma", p)
     n_max = max(ec.n, wc.n)
     ell_max = logmn(n_max)
-    e_full = list(Wit.E) + [0] * (n_max - shape.n_cons)
-    w_full = list(Wit.W) + [0] * (n_max - len(Wit.W))
+    e_full = _pad(Wit.E, n_max)
+    w_full = _pad(Wit.W, n_max)
     # zero-padding points in FRONT of the eval point selects the original
     # table inside the 2^ell_max-slot zero-extension (eq_evals is
     # MSB-first: high zero bits pin the extra coordinates to 0)

@@ -152,9 +152,24 @@ class PackedVec:
             return self
         return PackedVec(self.raw + b"\0" * (32 * (m - self.n)), m, self.p)
 
+    def at(self, i: int) -> int:
+        """Single-element read without materializing the whole vector."""
+        if self._ints is not None:
+            return self._ints[i]
+        return int.from_bytes(self.raw[32 * i:32 * i + 32], "little")
+
 
 def _c_i64(arr: Sequence[int]):
     return (ctypes.c_int64 * len(arr))(*arr)
+
+
+def gather_packed(pv: PackedVec, idx_c, n_out: int) -> PackedVec:
+    """out[k] = pv[idx[k]] as a PackedVec (C memcpy gather; `idx_c` is a
+    ctypes int64 array, cacheable at the caller)."""
+    lib = _load()
+    out = ctypes.create_string_buffer(32 * n_out)
+    lib.fv_gather(out, pv.raw, idx_c, n_out)
+    return PackedVec(out.raw, n_out, pv.p)
 
 
 def to_mont(vals: Sequence[int], p: int) -> bytes:
@@ -431,6 +446,20 @@ class WitnessProgram:
         self.lc_coeff_m = to_mont(coeffs, p)
 
     def run(self, z: List[int], inputs) -> List[int]:
+        buf = self._run_buf(z)
+        n = self.n_vars
+        raw = memoryview(buf).cast("B")
+        for i in range(n):
+            z[i] = int.from_bytes(raw[32 * i:32 * i + 32], "little")
+        return z
+
+    def run_packed(self, z: List[int], inputs) -> PackedVec:
+        """Like run() but returns the packed wire buffer directly — the
+        consumers (split_wires gather, commit MSMs, z_vector) are all
+        packed-native, so the full int round-trip is skipped."""
+        return PackedVec(bytes(self._run_buf(z).raw), self.n_vars, self.p)
+
+    def _run_buf(self, z: List[int]) -> ctypes.Array:
         lib = _load()
         p = self.p
         n = self.n_vars
@@ -460,8 +489,7 @@ class WitnessProgram:
                     z[idx] = v
                     mv[32 * idx:32 * idx + 32] = v.to_bytes(32, "little")
                     synced = idx + 1
-        sync_to(n)
-        return z
+        return buf
 
 
 def witness_program(cs) -> Optional[WitnessProgram]:
