@@ -585,6 +585,55 @@ void fv_gather(uint8_t* out, const uint8_t* buf, const i64* idx, i64 n) {
   for (i64 k = 0; k < n; k++) memcpy(out + 32 * k, buf + 32 * idx[k], 32);
 }
 
+// Host Poseidon permutation (x^5 S-box, dense MDS).  state: t*32B standard
+// form in/out; rc: (r_f+r_p)*t*32B MONTGOMERY; mds: t*t*32B MONTGOMERY
+// (row-major).  Full rounds sbox every lane, partial rounds lane 0 only.
+// Replaces the pure-python host permutation (~3-4 ms/perm -> ~30 us):
+// every host-side Fiat-Shamir sponge, Merkle build and IVC state hash
+// runs through here.
+void fv_poseidon(uint8_t* state, i64 t, const uint8_t* rc,
+                 const uint8_t* mds, i64 r_f, i64 r_p, int field) {
+  const Field& f = F(field);
+  Fe s[16], ns[16], m[256], c, t2, t4;
+  if (t > 16) return;  // widths used: 5 and 9
+  for (i64 i = 0; i < t; i++) {
+    load(s[i], state + 32 * i);
+    f.to_mont(s[i], s[i]);
+  }
+  for (i64 i = 0; i < t * t; i++) load(m[i], mds + 32 * i);
+  i64 half = r_f / 2, rounds = r_f + r_p, ci = 0;
+  for (i64 r = 0; r < rounds; r++) {
+    bool full = r < half || r >= half + r_p;
+    for (i64 i = 0; i < t; i++) {
+      load(c, rc + 32 * (ci + i));
+      f.add(s[i], s[i], c);
+    }
+    ci += t;
+    i64 nbox = full ? t : 1;
+    for (i64 i = 0; i < nbox; i++) {
+      f.mul(t2, s[i], s[i]);
+      f.mul(t4, t2, t2);
+      f.mul(s[i], t4, s[i]);
+    }
+    for (i64 i = 0; i < t; i++) {
+      Fe acc;
+      memset(acc.v, 0, 32);
+      const Fe* row = m + i * t;
+      for (i64 j = 0; j < t; j++) {
+        Fe tmp;
+        f.mul(tmp, row[j], s[j]);
+        f.add(acc, acc, tmp);
+      }
+      ns[i] = acc;
+    }
+    for (i64 i = 0; i < t; i++) s[i] = ns[i];
+  }
+  for (i64 i = 0; i < t; i++) {
+    f.from_mont(s[i], s[i]);
+    store(state + 32 * i, s[i]);
+  }
+}
+
 void fv_dot(uint8_t* out, const uint8_t* a, const uint8_t* b, i64 n,
             int field) {
   const Field& f = F(field);

@@ -48,6 +48,7 @@ class R1CSShape:
     map to x slots, everything else becomes W."""
 
     def __init__(self, circuit: CompiledCircuit, io_names: List[str]):
+        import array as _arr
         cs = circuit.cs
         self.circuit = circuit
         self.f = circuit.f          # native field of this shape's circuit
@@ -60,42 +61,68 @@ class R1CSShape:
         self.n_wit = len(wit_cols)
         self.n_io = len(io_idx)
         self.n_cons = len(cs.constraints)
-        wit_pos = {idx: k for k, idx in enumerate(wit_cols)}
         # W occupies the aligned low half of Z (Spartan's public/witness
         # split needs the boundary at a power of two)
         self.w_pad = next_power_of_two(max(self.n_wit, self.n_io + 1, 2))
 
-        def map_col(old: int) -> int:
-            if old == 0:
-                return self.w_pad            # u slot
-            if old in io_pos:
-                return self.w_pad + 1 + io_pos[old]
-            return wit_pos[old]
+        # column remap as a flat array (per-entry closure+dict lookups were
+        # a top python cost at ~1.5M matrix entries)
+        colmap = [0] * cs.n_vars
+        colmap[0] = self.w_pad                    # u slot
+        for k, idx in enumerate(io_idx):
+            colmap[idx] = self.w_pad + 1 + k
+        for k, idx in enumerate(wit_cols):
+            colmap[idx] = k
 
-        self.A: List[Tuple[int, int, int]] = []
-        self.B: List[Tuple[int, int, int]] = []
-        self.C: List[Tuple[int, int, int]] = []
+        # one pass building the PACKED COO form (int64 row/col arrays +
+        # canonical 32B-LE values); the tuple-list views A/B/C materialize
+        # lazily for non-native fallbacks/tests, the native SparseMat and
+        # the digest consume the packed buffers directly
         fp = self.f.p
-        for i, (a, b, c) in enumerate(cs.constraints):
-            for col, v in a.items():
-                self.A.append((i, map_col(col), v % fp))
-            for col, v in b.items():
-                self.B.append((i, map_col(col), v % fp))
-            for col, v in c.items():
-                self.C.append((i, map_col(col), v % fp))
+        trips = [(_arr.array("q"), _arr.array("q"), bytearray())
+                 for _ in range(3)]
+        for i, row3 in enumerate(cs.constraints):
+            for (rows, cols, vals), lc in zip(trips, row3):
+                for col, v in lc.items():
+                    rows.append(i)
+                    cols.append(colmap[col])
+                    vals += (v % fp).to_bytes(32, "little")
+        self._packed_mats = tuple(
+            (rows, cols, bytes(vals)) for rows, cols, vals in trips)
+        self._coo = [None, None, None]
 
         self._wit_cols = wit_cols
         self._io_idx = io_idx
         self._wit_cols_c = None       # lazy ctypes i64 array for gathers
 
         h = hashlib.sha256()
-        for mat in (self.A, self.B, self.C):
-            h.update(len(mat).to_bytes(8, "little"))
-            for (i, j, v) in mat:
-                h.update(i.to_bytes(4, "little"))
-                h.update(j.to_bytes(4, "little"))
-                h.update(v.to_bytes(32, "little"))
+        for rows, cols, vals in self._packed_mats:
+            h.update(len(rows).to_bytes(8, "little"))
+            h.update(rows.tobytes())
+            h.update(cols.tobytes())
+            h.update(vals)
         self.digest = int.from_bytes(h.digest()[:16], "big")
+
+    def _mat(self, k: int) -> List[Tuple[int, int, int]]:
+        if self._coo[k] is None:
+            rows, cols, vals = self._packed_mats[k]
+            self._coo[k] = [
+                (rows[i], cols[i],
+                 int.from_bytes(vals[32 * i:32 * i + 32], "little"))
+                for i in range(len(rows))]
+        return self._coo[k]
+
+    @property
+    def A(self) -> List[Tuple[int, int, int]]:
+        return self._mat(0)
+
+    @property
+    def B(self) -> List[Tuple[int, int, int]]:
+        return self._mat(1)
+
+    @property
+    def C(self) -> List[Tuple[int, int, int]]:
+        return self._mat(2)
 
     def wit_index(self, name: str) -> int:
         """W-vector index of a named (non-io) wire (used by CAP proofs)."""

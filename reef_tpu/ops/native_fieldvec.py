@@ -163,6 +163,18 @@ def _c_i64(arr: Sequence[int]):
     return (ctypes.c_int64 * len(arr))(*arr)
 
 
+def poseidon_perm_native(p: int, state: Sequence[int], rc_mont: bytes,
+                         mds_mont: bytes, r_f: int, r_p: int) -> List[int]:
+    """One host Poseidon permutation in C (fv_poseidon); constants are
+    pre-packed Montgomery buffers cached by the caller."""
+    lib = _load()
+    t = len(state)
+    buf = ctypes.create_string_buffer(pack(state, p), 32 * t)
+    lib.fv_poseidon(buf, ctypes.c_int64(t), rc_mont, mds_mont,
+                    ctypes.c_int64(r_f), ctypes.c_int64(r_p), FIELD_ID[p])
+    return unpack(buf.raw, t)
+
+
 def gather_packed(pv: PackedVec, idx_c, n_out: int) -> PackedVec:
     """out[k] = pv[idx[k]] as a PackedVec (C memcpy gather; `idx_c` is a
     ctypes int64 array, cacheable at the caller)."""
@@ -222,6 +234,26 @@ class SparseMat:
         self.vals_m = to_mont([t[2] for t in coo], p)
         self.max_col = max((t[1] for t in coo), default=0)
 
+    @classmethod
+    def from_packed(cls, rows, cols, vals: bytes, p: int) -> "SparseMat":
+        """Zero-conversion construction from R1CSShape's packed COO form
+        (int64 arrays + canonical 32B-LE values)."""
+        self = cls.__new__(cls)
+        self.p = p
+        self.fid = FIELD_ID[p]
+        n = len(rows)
+        self.nnz = n
+        self.rows = (ctypes.c_int64 * n).from_buffer_copy(rows.tobytes()) \
+            if n else (ctypes.c_int64 * 0)()
+        self.cols = (ctypes.c_int64 * n).from_buffer_copy(cols.tobytes()) \
+            if n else (ctypes.c_int64 * 0)()
+        lib = _load()
+        out = ctypes.create_string_buffer(len(vals))
+        lib.fv_to_mont(out, vals, n, self.fid)
+        self.vals_m = out.raw
+        self.max_col = max(cols) if n else 0
+        return self
+
     def matvec(self, z: Sequence[int], n_out: int) -> "PackedVec":
         lib = _load()
         zb = pack(z, self.p)
@@ -245,8 +277,13 @@ def shape_mats(shape) -> Optional[Tuple[SparseMat, SparseMat, SparseMat]]:
     cached = getattr(shape, "_fv_mats", None)
     if cached is None:
         p = shape.f.p
-        cached = (SparseMat(shape.A, p), SparseMat(shape.B, p),
-                  SparseMat(shape.C, p))
+        packed = getattr(shape, "_packed_mats", None)
+        if packed is not None:
+            cached = tuple(SparseMat.from_packed(r, c, v, p)
+                           for (r, c, v) in packed)
+        else:
+            cached = (SparseMat(shape.A, p), SparseMat(shape.B, p),
+                      SparseMat(shape.C, p))
         shape._fv_mats = cached
     return cached
 

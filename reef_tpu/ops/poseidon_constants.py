@@ -190,8 +190,44 @@ def poseidon_params(p: int, t: int):
     return rc, mds
 
 
+_NATIVE_PERM_CACHE: dict = {}
+
+
+def _native_perm_consts(p: int, t: int):
+    """(rc_mont_bytes, mds_mont_bytes) for fv_poseidon, or None."""
+    key = (p, t)
+    ent = _NATIVE_PERM_CACHE.get(key)
+    if ent is not None:
+        return ent if ent != "no" else None
+    try:
+        from . import native_fieldvec as FV
+        if not FV.available() or p not in FV.FIELD_ID:
+            raise RuntimeError
+        rc, mds = poseidon_params(p, t)
+        ent = (FV.to_mont(rc, p),
+               FV.to_mont([v for row in mds for v in row], p))
+        _NATIVE_PERM_CACHE[key] = ent
+        return ent
+    except Exception:
+        _NATIVE_PERM_CACHE[key] = "no"
+        return None
+
+
 def host_permutation(p: int, state: list[int]) -> list[int]:
-    """Reference (host-side, python-int) Poseidon permutation for width t."""
+    """Reference host-side Poseidon permutation for width t = len(state).
+    Runs in C (native/fieldvec.cpp fv_poseidon) when available — bit-equal
+    to the python path below, which remains the oracle/fallback."""
+    t = len(state)
+    consts = _native_perm_consts(p, t)
+    if consts is not None:
+        from . import native_fieldvec as FV
+        return FV.poseidon_perm_native(p, state, consts[0], consts[1],
+                                       FULL_ROUNDS, PARTIAL_ROUNDS[t])
+    return host_permutation_py(p, state)
+
+
+def host_permutation_py(p: int, state: list[int]) -> list[int]:
+    """Pure-python permutation (the conformance oracle)."""
     t = len(state)
     rc, mds = poseidon_params(p, t)
     r_f, r_p = FULL_ROUNDS, PARTIAL_ROUNDS[t]
