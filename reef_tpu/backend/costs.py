@@ -63,18 +63,24 @@ def nl_nohash(batch_size: int, table_size: int) -> int:
     return cost
 
 
+# Fiat-Shamir sponge rate for the nlookup gadgets (t = NL_RATE + 1).
+# Rate 8 absorbs the big initial query (batch vs + running q + packed q
+# bits) in half the permutations of the reference's arity-4 pattern; the
+# per-round absorb(3)+squeeze(1) is one permutation at either rate.  The
+# constants deviate from neptune regardless (documented waiver), so only
+# self-consistency matters — see PARITY.md.
+NL_RATE = 8
+_PERM_GADGET_COST = {4: 298, 8: 414}   # stamped constraints per permutation
+
+
 def nlookup_cost_hash(batch_size: int, table_size: int, hybrid: bool) -> int:
     log_mn = logmn(table_size)
     num_cqs = math.ceil(batch_size * log_mn / 254.0)
-    cost = 578
-    if log_mn + batch_size + num_cqs > 5:
-        num = float(log_mn + num_cqs + batch_size - 5)
-        if hybrid:
-            num += 1.0
-        n_sponge = max(1, int(num / 4.0))
-        cost += n_sponge * 288
-    cost += log_mn * 290
-    return cost
+    n_abs = batch_size + log_mn + 1 + num_cqs + (1 if hybrid else 0)
+    perm = _PERM_GADGET_COST[NL_RATE]
+    perms = max(1, math.ceil(n_abs / NL_RATE))   # initial absorb + squeeze
+    perms += log_mn                              # one per sumcheck round
+    return perms * perm + log_mn * 6 + 290
 
 
 def nl(batch_size: int, table_size: int, hybrid: bool) -> int:

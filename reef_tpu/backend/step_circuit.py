@@ -350,7 +350,8 @@ class StepCircuit:
 
         # Fiat-Shamir
         io = nlookup_pattern(m, sc_l, num_cqs, doc_hash is not None, tag)
-        sponge = CircuitSponge(cs, io)
+        from .costs import NL_RATE
+        sponge = CircuitSponge(cs, io, rate=NL_RATE)
         absorb = [] if doc_hash is None else [lc_const(self.doc_commit_hash)]
         absorb += combined + vs + run_q + [run_v]
         sponge.absorb(absorb)

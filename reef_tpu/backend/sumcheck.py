@@ -31,7 +31,7 @@ from typing import List, Optional, Tuple
 
 from ..ops import field as F
 from ..ops.poseidon import HostSponge, IOPattern
-from .costs import logmn
+from .costs import NL_RATE, logmn
 
 
 def linear_mle_product(f: F.HostField, table_t: List[int], table_eq: List[int],
@@ -223,7 +223,7 @@ def nlookup_prove(f: F.HostField, table: List[int], qs: List[int],
 
     cqs = combine_qs(qs, sc_l, num_vs)
     io = nlookup_pattern(num_vs, sc_l, len(cqs), doc_hash is not None, tag)
-    sponge = HostSponge(f, io)
+    sponge = HostSponge(f, io, rate=NL_RATE)
 
     query = ([] if doc_hash is None else [doc_hash % p])
     query += [c % p for c in cqs]

@@ -61,7 +61,7 @@ def _one_round_kernel(lf: LimbField, t_tab, eq_tab, state):
     state = state.at[1].set(limb.add(lf, state[1], con))
     state = state.at[2].set(limb.add(lf, state[2], x))
     state = state.at[3].set(limb.add(lf, state[3], xsq))
-    state = poseidon.permute(lf, state, 5)
+    state = poseidon.permute(lf, state, state.shape[0])
     r = state[1]
     rb = jnp.broadcast_to(r, t0.shape)
     t_fold = limb.add(lf, t0, limb.mul(lf, rb, ts))
