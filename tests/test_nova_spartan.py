@@ -16,7 +16,7 @@ RNG = random.Random(31)
 
 def tiny_circuit():
     """x_out = x_in^2 + a*x_in + 7, with a private a; io = (x_in, x_out)."""
-    cs = ConstraintSystem(f)
+    cs = ConstraintSystem(F.FQ)
     x_in = cs.input("x_in")
     a = cs.input("a")
     x_sq = cs.mul(x_in, x_in, "x_sq")
@@ -119,3 +119,37 @@ def test_spartan_rejects_tampered_batched_opening():
     p5 = copy.deepcopy(proof)
     p5.eval.a_final = (p5.eval.a_final + 1) % f.p
     assert not spartan_verify(shape, wc, ec, prover.U, p5)
+
+
+def test_pure_python_fallback_roundtrip(monkeypatch):
+    """With every native library unavailable, the packed-pipeline entry
+    points fall back to plain int lists and a small Spartan roundtrip
+    still proves/verifies (the 'silent fallback' contract)."""
+    import reef_tpu.ec.native_msm as NM
+    import reef_tpu.ops.native_fieldvec as FV
+    from reef_tpu.backend.r1cs import CompiledCircuit, ConstraintSystem
+
+    monkeypatch.setattr(FV, "_LIB", None)
+    monkeypatch.setattr(FV, "_BUILD_FAILED", True)
+    monkeypatch.setattr(NM, "_LIB", None)
+    monkeypatch.setattr(NM, "_BUILD_FAILED", True)
+    assert not FV.available()
+
+    cs = ConstraintSystem(F.FQ)
+    a = cs.input("a")
+    b = cs.input("b")
+    c = cs.mul(a, b)
+    cs.enforce_eq(cs.mul(c, c), cs.mul(c, c, "dd"))
+    cc = CompiledCircuit(cs)
+    from reef_tpu.backend.nova import RelaxedInstance, RelaxedWitness
+    wires = cc.witness_packed({"a": 3, "b": 5})
+    assert isinstance(wires, list)          # no PackedVec without natives
+    shape = R1CSShape(cc, ["a"])
+    W, x = shape.split_wires(wires)
+    wc = VectorCommitter(shape.w_pad)
+    ec = VectorCommitter(shape.n_cons)
+    comm_W, blind = wc.commit(W)
+    U = RelaxedInstance(comm_W, None, 1, x)
+    Wit = RelaxedWitness(W, [0] * shape.n_cons, blind, 0)
+    pr = spartan_prove(shape, wc, ec, U, Wit)
+    assert spartan_verify(shape, wc, ec, U, pr)
