@@ -217,9 +217,10 @@ def _device_probe_impl():
 
 def _run_sandboxed(expr: str, seconds: int):
     """Evaluate a bench expression in a CHILD interpreter with a hard kill
-    timeout.  In-process SIGALRM cannot interrupt a wedged PJRT call (the
-    handler only runs between bytecodes, and the wedge blocks inside C), so
-    the only robust timeout for device work is killing a subprocess."""
+    timeout; returns (value_or_None, error_label_or_None).  In-process
+    SIGALRM cannot interrupt a wedged PJRT call (the handler only runs
+    between bytecodes, and the wedge blocks inside C), so the only robust
+    timeout for device work is killing a subprocess."""
     import subprocess
 
     code = ("import bench, json\n"
@@ -230,15 +231,19 @@ def _run_sandboxed(expr: str, seconds: int):
             [sys.executable, "-c", code], timeout=seconds,
             capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-    except Exception:
-        return None
+    except subprocess.TimeoutExpired:
+        return None, "subprocess timeout"
+    except Exception as e:
+        return None, type(e).__name__
     for line in (r.stdout or "").splitlines():
         if line.startswith("RESULT "):
             try:
-                return json.loads(line[7:])
+                return json.loads(line[7:]), None
             except Exception:
-                return None
-    return None
+                return None, "unparsable result"
+    tail = (r.stderr or "").strip().splitlines()
+    return None, (f"exit {r.returncode}"
+                  + (f": {tail[-1][:120]}" if tail else ""))
 
 
 def _with_timeout(fn, seconds, tries=2, backoff=20):
@@ -328,16 +333,21 @@ def main():
         stale.append(key + ("" if err is None else f" ({err})"))
         return cache.get(key, 0)
 
-    def measure_sub(key, expr, seconds):
-        val = _run_sandboxed(expr, seconds)
-        if val is not None:
-            cache[key] = round(val, 2)
-            _store_cache(cache)
-            return cache[key]
-        stale.append(key + " (subprocess timeout)")
+    def measure_sub(key, expr, seconds, tries=2, backoff=20):
+        err = None
+        for attempt in range(tries):
+            val, err = _run_sandboxed(expr, seconds)
+            if val is not None:
+                cache[key] = round(val, 2)
+                _store_cache(cache)
+                return cache[key]
+            if attempt + 1 < tries:
+                time.sleep(backoff)
+        stale.append(f"{key} ({err})")
         return cache.get(key, 0)
 
-    device_ok = _run_sandboxed("bench._device_probe_impl()", 90) is not None
+    device_ok = _run_sandboxed("bench._device_probe_impl()", 90)[0] \
+        is not None
     if device_ok:
         # device benches in a KILLABLE subprocess too: the tunnel can wedge
         # mid-compile, and a wedged call never returns to the bytecode loop

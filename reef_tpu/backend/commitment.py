@@ -310,7 +310,12 @@ class HyraxPC:
         if blinds is None:
             import secrets
             blinds = [secrets.randbelow(self.f.p) for _ in range(self.n_rows)]
-        rows = self.vec_gens.commit_rows(coeffs, blinds)
+        rows = None
+        # honor the REEF_DEVICE_MSM opt-in: when the device path would take
+        # these row MSMs, keep the per-row commit() route (which dispatches
+        # to the TPU Pippenger) instead of the host row-batched call
+        if not (_device_msm_on() and self.n_cols >= DEVICE_MSM_MIN_N):
+            rows = self.vec_gens.commit_rows(coeffs, blinds)
         if rows is None:
             rows = [self.vec_gens.commit(
                         coeffs[j * self.n_cols:(j + 1) * self.n_cols],

@@ -406,6 +406,15 @@ class CompiledCircuit:
         self.output_lcs = output_lcs or []
 
     def witness(self, inputs: Dict[str, int]) -> List[int]:
+        z, prog = self._witness_prologue(inputs)
+        if prog is not None:
+            return prog.run(z, inputs)
+        for idx, fn, _op in self.cs.computers:
+            z[idx] = fn(z) % self.cs.f.p
+        return z
+
+    def _witness_prologue(self, inputs: Dict[str, int]):
+        """(input-filled z vector, native program or None)."""
         cs = self.cs
         z = [0] * cs.n_vars
         z[0] = 1
@@ -415,29 +424,17 @@ class CompiledCircuit:
             z[cs.names[name]] = inputs[name] % cs.f.p
         from ..ops import native_fieldvec as FV
         prog = FV.witness_program(cs) if FV.available() else None
-        if prog is not None:
-            return prog.run(z, inputs)
-        for idx, fn, _op in cs.computers:
-            z[idx] = fn(z) % cs.f.p
-        return z
+        return z, prog
 
     def witness_packed(self, inputs: Dict[str, int]):
         """witness() returning a PackedVec when the native program is
         available (skips the full int round-trip; see run_packed), a plain
         int list otherwise."""
-        cs = self.cs
-        z = [0] * cs.n_vars
-        z[0] = 1
-        missing = [n for n in cs.input_names if n not in inputs]
-        assert not missing, f"missing inputs: {missing[:10]}"
-        for name in cs.input_names:
-            z[cs.names[name]] = inputs[name] % cs.f.p
-        from ..ops import native_fieldvec as FV
-        prog = FV.witness_program(cs) if FV.available() else None
+        z, prog = self._witness_prologue(inputs)
         if prog is not None:
             return prog.run_packed(z, inputs)
-        for idx, fn, _op in cs.computers:
-            z[idx] = fn(z) % cs.f.p
+        for idx, fn, _op in self.cs.computers:
+            z[idx] = fn(z) % self.cs.f.p
         return z
 
     def outputs(self, z: List[int]) -> List[int]:

@@ -26,13 +26,8 @@ def _load() -> Optional[ctypes.CDLL]:
     src = os.path.join(root, "native", "msm.cpp")
     so = os.path.join(root, "native", "libpastamsm.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-funroll-loops", "-mbmi2", "-madx", "-shared",
-                 "-fPIC", "-std=c++17", src,
-                 "-o", so],
-                check=True, capture_output=True)
+        from ..utils.nativebuild import build_native_lib
+        build_native_lib(src, so)
         lib = ctypes.CDLL(so)
         lib.pasta_msm.restype = None
         lib.pasta_msm_idx.restype = None

@@ -32,12 +32,8 @@ def _load() -> Optional[ctypes.CDLL]:
     src = os.path.join(root, "native", "solver.cpp")
     so = os.path.join(root, "native", "libsafasolver.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 src, "-o", so],
-                check=True, capture_output=True)
+        from ..utils.nativebuild import build_native_lib
+        build_native_lib(src, so, extra=["-pthread"])
         lib = ctypes.CDLL(so)
         lib.safa_solve.restype = ctypes.c_int64
         _LIB = lib

@@ -36,13 +36,8 @@ def _load() -> Optional[ctypes.CDLL]:
     src = os.path.join(root, "native", "fieldvec.cpp")
     so = os.path.join(root, "native", "libfieldvec.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-funroll-loops", "-mbmi2", "-madx", "-shared",
-                 "-fPIC", "-std=c++17", src,
-                 "-o", so],
-                check=True, capture_output=True)
+        from ..utils.nativebuild import build_native_lib
+        build_native_lib(src, so)
         lib = ctypes.CDLL(so)
         B = ctypes.c_char_p          # accepts bytes / string buffers
         Buf = ctypes.c_void_p        # mutable buffers
@@ -66,11 +61,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.fv_bilinear.argtypes = [Buf, IP, IP, B, I64, Buf, Buf, C]
         lib.fv_dot.argtypes = [Buf, B, B, I64, C]
         lib.fv_witness.argtypes = [Buf, IP, IP, B, IP, I64, C]
+        lib.fv_gather.argtypes = [Buf, B, IP, I64]
+        lib.fv_poseidon.argtypes = [Buf, I64, B, B, I64, I64, C]
         for fn in ("fv_to_mont", "fv_from_mont", "fv_fold", "fv_matvec",
                    "fv_cross", "fv_sc1_evals", "fv_sc2_evals", "fv_nl_round",
                    "fv_fold_mont", "fv_scale_mont", "fv_add_at",
                    "fv_eq_evals", "fv_mtab", "fv_bilinear", "fv_dot",
-                   "fv_witness"):
+                   "fv_witness", "fv_gather", "fv_poseidon"):
             getattr(lib, fn).restype = None
         _LIB = lib
     except Exception:
@@ -156,6 +153,10 @@ class PackedVec:
         """Single-element read without materializing the whole vector."""
         if self._ints is not None:
             return self._ints[i]
+        if i < 0:                     # list semantics (raw[-32:0] would
+            i += self.n               # silently read as 0 otherwise)
+        if not 0 <= i < self.n:
+            raise IndexError(i)
         return int.from_bytes(self.raw[32 * i:32 * i + 32], "little")
 
 

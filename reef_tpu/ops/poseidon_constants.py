@@ -201,7 +201,10 @@ def _native_perm_consts(p: int, t: int):
         return ent if ent != "no" else None
     try:
         from . import native_fieldvec as FV
-        if not FV.available() or p not in FV.FIELD_ID:
+        # fv_poseidon supports widths up to 16 (its stack state array);
+        # wider sponges must stay on the python path rather than silently
+        # passing state through unpermuted
+        if t > 16 or not FV.available() or p not in FV.FIELD_ID:
             raise RuntimeError
         rc, mds = poseidon_params(p, t)
         ent = (FV.to_mont(rc, p),
