@@ -46,3 +46,86 @@ def test_e2e_projections_and_hybrid():
     _, _, ok = e2e("^.{36}ACGT$", "ACGT", "A" * 36 + "ACGT",
                    projections=True, hybrid=True, batch_size=2)
     assert ok
+
+
+def test_random_snark_e2e_fuzz():
+    """Random regex/doc pairs through the FULL pipeline (commit -> IVC
+    prove -> compress -> verify) with mode toggles, plus an
+    artifact-tamper rejection per case.  The constraint-gate fuzz
+    (test_step_circuit) stops at check_all; this exercises the SNARK
+    layers end-to-end.  Seeded and bounded."""
+    import random
+    import re as pyre
+
+    from reef_tpu.frontend import parser
+    from reef_tpu.frontend import regex as R
+    from reef_tpu.frontend.safa import SAFA
+    from reef_tpu.utils import serialize as SZ
+
+    rng = random.Random(31337)
+
+    def gen(depth, look=True):
+        if depth == 0:
+            return rng.choice(["a", "b", "[ab]", "."])
+        p = rng.random()
+        if p < 0.3:
+            return gen(depth - 1, look) + gen(depth - 1, False)
+        if p < 0.55:
+            return ("(" + gen(depth - 1, False) + "|"
+                    + gen(depth - 1, False) + ")")
+        if p < 0.68:
+            return "(" + gen(depth - 1, False) + ")*"
+        if p < 0.8 and look:
+            return "(?=" + gen(depth - 1, False) + ")" + gen(depth - 1, False)
+        return gen(depth - 1, look)
+
+    ran = 0
+    trial = 0
+    while ran < 4 and trial < 200:
+        trial += 1
+        rstr = "^" + gen(2) + "$"
+        negate = rng.random() < 0.25
+        try:
+            r = R.simpl(parser.parse(rstr))
+            safa = SAFA("ab", r)
+        except NotImplementedError:
+            continue
+        if negate:
+            safa = safa.negate()
+        if safa.num_states() > 40:
+            continue
+        doc = None
+        for _ in range(30):
+            cand = "".join(rng.choice("ab")
+                           for _ in range(rng.randrange(1, 6)))
+            if (pyre.search(rstr, cand) is not None) != negate:
+                doc = cand
+                break
+        if doc is None:
+            continue
+        hybrid = rng.random() < 0.3
+        commit, proofs, ok = e2e(rstr, "ab", doc, batch_size=2,
+                                 hybrid=hybrid, negate=negate)
+        assert ok, (rstr, doc, negate, hybrid)
+
+        # artifact tamper: flip one byte mid-proof; the verifier must
+        # reject cleanly (False or a typed error), never accept
+        blob = bytearray(SZ.dumps("proof", proofs))
+        blob[len(blob) // 2] ^= 0x41
+        try:
+            bad = SZ.loads(bytes(blob), "proof")
+        except Exception:
+            ran += 1
+            continue                       # codec rejected: fine
+        import reef_tpu.backend.framework as FW2
+        safa2 = SAFA("ab", R.simpl(parser.parse(rstr)))
+        if negate:
+            safa2 = safa2.negate()
+        try:
+            ok_bad = FW2.run_verifier(commit, safa2, bad, batch_size=2,
+                                      hybrid=hybrid)
+        except Exception:
+            ok_bad = False                 # clean typed rejection
+        assert not ok_bad, (rstr, doc, "tampered proof accepted")
+        ran += 1
+    assert ran >= 4
