@@ -339,8 +339,6 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
             n = n2
         pts_dev = jnp.asarray(np.asarray(points))
 
-    order, lv_idx, lv_mask = window_prep_v2(scalars, ck.curve.order, n)
-    kern = _window_kernel_v2(ck, n)
     # On real TPU, route the padd field muls through the Pallas Montgomery
     # kernel (the 539k perm/s Poseidon path); the digit axis is padded to
     # 256 so every scan batch is a multiple of 128 lanes.  Enable/disable
@@ -357,11 +355,45 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
         prev_thr = pallas_field._THRESHOLD
         pallas_field.enable(threshold=min(prev_thr, 2048))
     try:
-        accs = np.asarray(kern(pts_dev, jnp.asarray(order),
-                               jnp.asarray(lv_idx), jnp.asarray(lv_mask),
-                               jnp.asarray(np.asarray(ck.ident))))
+        # CHUNKING lifts the size limit: the tunneled compile service
+        # wedges on window kernels past n=2^13, so larger MSMs run the
+        # already-compiled chunk-sized kernel repeatedly and accumulate
+        # the per-window points with one batched device padd per chunk.
+        import os
+        cap = int(os.environ.get("REEF_DEVICE_MSM_CHUNK", "8192"))
+        cap = max(2, 1 << (cap - 1).bit_length())
+        if n <= cap:
+            accs = _msm_accs(ck, scalars, pts_dev, n)
+        else:
+            assert n % cap == 0            # both are powers of two
+            add = _accs_add_jit(ck)
+            accs_dev = None
+            for k in range(n // cap):
+                a = _msm_accs(ck, scalars[k * cap:(k + 1) * cap],
+                              pts_dev[k * cap:(k + 1) * cap], cap,
+                              as_device=True)
+                accs_dev = a if accs_dev is None else add(accs_dev, a)
+            accs = np.asarray(accs_dev)
     finally:
         if use_pallas:
             _limb.mul = prev_mul
             pallas_field._THRESHOLD = prev_thr
     return combine_windows(ck, accs)
+
+
+def _msm_accs(ck: CurveKernels, scalars: List[int], pts_dev, n: int,
+              as_device: bool = False):
+    """Per-window accumulator points (W, 3, N) for one kernel-sized MSM."""
+    import jax.numpy as jnp
+
+    order, lv_idx, lv_mask = window_prep_v2(scalars, ck.curve.order, n)
+    kern = _window_kernel_v2(ck, n)
+    out = kern(pts_dev, jnp.asarray(order), jnp.asarray(lv_idx),
+               jnp.asarray(lv_mask), jnp.asarray(np.asarray(ck.ident)))
+    return out if as_device else np.asarray(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _accs_add_jit(ck: CurveKernels):
+    import jax
+    return jax.jit(functools.partial(padd, ck))

@@ -110,3 +110,17 @@ def test_pedersen_commit_device_gate(monkeypatch):
     monkeypatch.setenv("REEF_DEVICE_MSM", "1")
     dev = gens.commit(vals, blind)
     assert dev == host
+
+
+def test_msm_device_chunked_matches_oracle(monkeypatch):
+    """REEF_DEVICE_MSM_CHUNK splits an MSM across repeated invocations of
+    the chunk-sized kernel (the tunneled compiler wedges on large window
+    kernels); the chunked result must be bit-exact vs the host oracle."""
+    monkeypatch.setenv("REEF_DEVICE_MSM_CHUNK", "16")
+    ck = pallas_kernels()
+    n = 64
+    pts = [PALLAS.mul(i + 2, PALLAS.gen) for i in range(n)]
+    basis = mp.DeviceBasis(ck, pts)
+    rng = random.Random(77)
+    scs = [rng.randrange(PALLAS.order) for _ in range(n)]
+    assert mp.msm_device(ck, scs, basis) == _host_msm(PALLAS, scs, pts)
