@@ -30,6 +30,11 @@ def _cpu_fast_flags() -> List[str]:
             out.append("-mbmi2")
         if "adx" in feats:
             out.append("-madx")
+        if {"avx512ifma", "avx512f", "avx512dq",
+                "avx512vl"} <= feats:
+            # enables the 8-wide 5x52 Montgomery bucket phase in msm.cpp
+            out += ["-mavx512f", "-mavx512dq", "-mavx512vl",
+                    "-mavx512ifma"]
         return out
     except Exception:
         return []
