@@ -1564,6 +1564,103 @@ void ipa_materialize(IpaCtx* ctx) {
     }
   };
 
+#ifdef REEF_IFMA
+  // 52-domain lockstep: same schedule, records flushed through the
+  // 8-wide Batch52 machinery (measured ~1.3x on the bucket phase)
+  auto worker52 = [&](int64_t lo_i, int64_t hi_i) {
+    const Field52& f5 = *field52_for(&bf);
+    int64_t m = hi_i - lo_i;
+    std::vector<Aff52> acc(m);
+    for (auto& a : acc) a.inf = true;
+    std::vector<std::vector<Aff52>> rows(g, std::vector<Aff52>(m));
+    for (int64_t t = 0; t < g; t++)
+      for (int64_t i = 0; i < m; i++) {
+        const Aff& src = ctx->basis[t * n + lo_i + i];
+        rows[t][i].inf = src.inf;
+        if (!src.inf) {
+          f5.from_mont64(rows[t][i].x, bf, src.x);
+          f5.from_mont64(rows[t][i].y, bf, src.y);
+        }
+      }
+    Batch52 b;
+    SoA52 pfx;
+    auto flush = [&]() {
+      if (b.slot.empty()) return;
+      b.pad_to_8(f5);
+      batch_dbl_num52(f5, b);
+      batch_inv52(f5, b, pfx);
+      batch_complete52(f5, b, acc.data());
+      b.clear();
+    };
+    auto push_dbl = [&](int64_t i) {
+      Fe52 den;
+      f5.add(den, acc[i].y, acc[i].y);
+      b.dbl.push_back((int64_t)b.slot.size());
+      b.num.push(acc[i].x);
+      b.den.push(den);
+      b.x1.push(acc[i].x);
+      b.y1.push(acc[i].y);
+      b.x2.push(acc[i].x);
+      b.slot.push_back(i);
+      acc[i].inf = true;  // placeholder until completion
+    };
+    for (int bit = hi; bit >= 0; bit--) {
+      for (int64_t i = 0; i < m; i++) {
+        if (!acc[i].inf) push_dbl(i);
+      }
+      flush();
+      for (int64_t t = 0; t < g; t++) {
+        int8_t dg = naf[(size_t)t * 256 + bit];
+        if (!dg) continue;
+        for (int64_t i = 0; i < m; i++) {
+          const Aff52& P0 = rows[t][i];
+          if (P0.inf) continue;
+          Fe52 py = P0.y;
+          if (dg < 0) f5.neg(py, py);
+          Aff52& O = acc[i];
+          if (O.inf) {
+            O.x = P0.x;
+            O.y = py;
+            O.inf = false;
+            continue;
+          }
+          if (memcmp(O.x.v, P0.x.v, 40) == 0) {
+            if (memcmp(O.y.v, py.v, 40) == 0) {
+              push_dbl(i);
+            } else {
+              O.inf = true;  // P + (-P)
+            }
+            continue;
+          }
+          Fe52 num, den;
+          f5.sub(num, py, O.y);
+          f5.sub(den, P0.x, O.x);
+          b.num.push(num);
+          b.den.push(den);
+          b.x1.push(O.x);
+          b.y1.push(O.y);
+          b.x2.push(P0.x);
+          b.slot.push_back(i);
+          O.inf = true;  // placeholder until completion
+        }
+        flush();
+      }
+    }
+    for (int64_t i = 0; i < m; i++) {
+      Aff& o = nb[lo_i + i];
+      o.inf = acc[i].inf;
+      if (!acc[i].inf) {
+        f5.to_mont64(o.x, bf, acc[i].x);
+        f5.to_mont64(o.y, bf, acc[i].y);
+      }
+    }
+  };
+  const bool mat52 = cpu_has_ifma();
+  if (mat52) field52_for(&bf);   // prime the static ctx before threading
+#else
+  const bool mat52 = false;
+#endif
+
   int n_threads = (int)std::thread::hardware_concurrency();
   const char* tenv = getenv("REEF_MSM_THREADS");
   if (tenv) n_threads = atoi(tenv);
@@ -1574,11 +1671,24 @@ void ipa_materialize(IpaCtx* ctx) {
     for (int t = 0; t < n_threads; t++) {
       int64_t lo_i = t * chunk, hi_i = std::min(n, lo_i + chunk);
       if (lo_i >= hi_i) break;
+#ifdef REEF_IFMA
+      if (mat52) {
+        threads.emplace_back(worker52, lo_i, hi_i);
+        continue;
+      }
+#endif
       threads.emplace_back(worker, lo_i, hi_i);
     }
     for (auto& th : threads) th.join();
   } else {
+#ifdef REEF_IFMA
+    if (mat52)
+      worker52(0, n);
+    else
+      worker(0, n);
+#else
     worker(0, n);
+#endif
   }
 
   ctx->basis.swap(nb);
