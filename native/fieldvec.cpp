@@ -15,6 +15,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512IFMA__)
+#include <immintrin.h>
+#define REEF_FV_IFMA 1
+#endif
+
 typedef unsigned __int128 u128;
 typedef uint64_t u64;
 typedef int64_t i64;
@@ -159,6 +164,309 @@ inline const Field& F(int id) { return FIELDS[id & 1]; }
 inline void load(Fe& o, const uint8_t* b) { memcpy(o.v, b, 32); }
 inline void store(uint8_t* b, const Fe& a) { memcpy(b, a.v, 32); }
 
+// ---------------------------------------------------------------------------
+// AVX-512 IFMA fast path for the sumcheck round kernels (the same 5x52
+// Montgomery engine as msm.cpp's bucket phase; values here stay in the
+// 32B/elem 2^256 Montgomery representation on the ABI, and each kernel
+// tracks the extra 2^-4-per-mul exponent drift of running a radix-2^52
+// reduction over 2^256-domain values, fixing it up with one constant
+// multiplication per OUTPUT — see the per-kernel notes).
+// ---------------------------------------------------------------------------
+
+const u64 MASK52 = (1ULL << 52) - 1;
+
+struct Fe52 { u64 v[5]; };
+
+inline void repack52(Fe52& o, const u64 in[4]) {
+  o.v[0] = in[0] & MASK52;
+  o.v[1] = ((in[0] >> 52) | (in[1] << 12)) & MASK52;
+  o.v[2] = ((in[1] >> 40) | (in[2] << 24)) & MASK52;
+  o.v[3] = ((in[2] >> 28) | (in[3] << 36)) & MASK52;
+  o.v[4] = in[3] >> 16;
+}
+
+inline void repack64(u64 out[4], const Fe52& a) {
+  out[0] = a.v[0] | (a.v[1] << 52);
+  out[1] = (a.v[1] >> 12) | (a.v[2] << 40);
+  out[2] = (a.v[2] >> 24) | (a.v[3] << 28);
+  out[3] = (a.v[3] >> 36) | (a.v[4] << 16);
+}
+
+inline bool geq52(const u64 a[5], const u64 b[5]) {
+  for (int i = 4; i >= 0; i--) {
+    if (a[i] > b[i]) return true;
+    if (a[i] < b[i]) return false;
+  }
+  return true;
+}
+
+struct F52 {
+  u64 p[5];
+  u64 n0inv;     // -p^{-1} mod 2^52
+  Fe52 c8;       // 2^8   (fixes exponent 252 -> canonical)
+  Fe52 c12;      // 2^12  (fixes exponent 248 -> canonical)
+  Fe52 cr64;     // 2^256 mod p (shifts exponent 256 -> 252 in one mul)
+  Fe52 r260;     // 2^520 mod p (canonical scalar -> exponent 260)
+
+  void add(Fe52& o, const Fe52& a, const Fe52& b) const {
+    u64 t[5], carry = 0;
+    for (int i = 0; i < 5; i++) {
+      u64 s = a.v[i] + b.v[i] + carry;
+      t[i] = s & MASK52;
+      carry = s >> 52;
+    }
+    if (geq52(t, p)) {
+      u64 borrow = 0;
+      for (int i = 0; i < 5; i++) {
+        u64 d = t[i] - p[i] - borrow;
+        borrow = (d >> 63) & 1;
+        o.v[i] = d & MASK52;
+      }
+    } else {
+      memcpy(o.v, t, 40);
+    }
+  }
+
+  void mul(Fe52& o, const Fe52& a, const Fe52& b) const {
+    u64 t[6] = {0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 5; i++) {
+      u128 carry = 0;
+      for (int j = 0; j < 5; j++) {
+        u128 s = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+        t[j] = (u64)s & MASK52;
+        carry = s >> 52;
+      }
+      u128 s = (u128)t[5] + carry;
+      t[5] = (u64)s;
+      u64 m = (t[0] * n0inv) & MASK52;
+      carry = 0;
+      u128 s0 = (u128)t[0] + (u128)m * p[0];
+      carry = s0 >> 52;
+      for (int j = 1; j < 5; j++) {
+        u128 s2 = (u128)t[j] + (u128)m * p[j] + carry;
+        t[j - 1] = (u64)s2 & MASK52;
+        carry = s2 >> 52;
+      }
+      u128 s3 = (u128)t[5] + carry;
+      t[4] = (u64)s3 & MASK52;
+      t[5] = (u64)(s3 >> 52);
+    }
+    if (t[5] || geq52(t, p)) {
+      u64 borrow = 0;
+      for (int i = 0; i < 5; i++) {
+        u64 d = t[i] - p[i] - borrow;
+        borrow = (d >> 63) & 1;
+        o.v[i] = d & MASK52;
+      }
+    } else {
+      memcpy(o.v, t, 40);
+    }
+  }
+
+  void init(const Field& f64) {
+    repack52(*(Fe52*)&p, f64.p);
+    u64 inv = 1;
+    for (int i = 0; i < 6; i++) inv *= 2 - p[0] * inv;
+    n0inv = (u64)(0 - inv) & MASK52;
+    memset(c8.v, 0, 40);
+    c8.v[0] = 1ULL << 8;
+    memset(c12.v, 0, 40);
+    c12.v[0] = 1ULL << 12;
+    repack52(cr64, f64.one_m);        // 2^256 mod p
+    // r260 = 2^520 mod p: double 2^256 mod p another 264 times
+    Fe52 r = cr64;
+    for (int i = 0; i < 264; i++) add(r, r, r);
+    r260 = r;
+  }
+};
+
+struct F52Pair {   // magic-static: thread-safe init (threaded compress
+  F52 a[2];        // runs two spartan proves concurrently)
+  F52Pair() {
+    a[0].init(FIELDS[0]);
+    a[1].init(FIELDS[1]);
+  }
+};
+
+inline const F52& F52_of(int id) {
+  static F52Pair pp;
+  return pp.a[id & 1];
+}
+
+#ifdef REEF_FV_IFMA
+
+inline bool fv_has_ifma() {
+  static int cached = -1;
+  if (cached < 0) cached = __builtin_cpu_supports("avx512ifma") ? 1 : 0;
+  return cached == 1;
+}
+
+struct V52 { __m512i l[5]; };
+
+// load 8 consecutive 32B-packed elements into limb-sliced 52-bit lanes
+inline V52 v52_load8(const uint8_t* base) {
+  const long long* q = (const long long*)base;
+  __m512i idx = _mm512_setr_epi64(0, 4, 8, 12, 16, 20, 24, 28);
+  __m512i l0 = _mm512_i64gather_epi64(idx, q, 8);
+  __m512i l1 = _mm512_i64gather_epi64(idx, q + 1, 8);
+  __m512i l2 = _mm512_i64gather_epi64(idx, q + 2, 8);
+  __m512i l3 = _mm512_i64gather_epi64(idx, q + 3, 8);
+  __m512i mask = _mm512_set1_epi64(MASK52);
+  V52 o;
+  o.l[0] = _mm512_and_si512(l0, mask);
+  o.l[1] = _mm512_and_si512(_mm512_or_si512(
+      _mm512_srli_epi64(l0, 52), _mm512_slli_epi64(l1, 12)), mask);
+  o.l[2] = _mm512_and_si512(_mm512_or_si512(
+      _mm512_srli_epi64(l1, 40), _mm512_slli_epi64(l2, 24)), mask);
+  o.l[3] = _mm512_and_si512(_mm512_or_si512(
+      _mm512_srli_epi64(l2, 28), _mm512_slli_epi64(l3, 36)), mask);
+  o.l[4] = _mm512_srli_epi64(l3, 16);
+  return o;
+}
+
+inline void v52_store8(uint8_t* base, const V52& a) {
+  __m512i l0 = _mm512_or_si512(a.l[0], _mm512_slli_epi64(a.l[1], 52));
+  __m512i l1 = _mm512_or_si512(_mm512_srli_epi64(a.l[1], 12),
+                               _mm512_slli_epi64(a.l[2], 40));
+  __m512i l2 = _mm512_or_si512(_mm512_srli_epi64(a.l[2], 24),
+                               _mm512_slli_epi64(a.l[3], 28));
+  __m512i l3 = _mm512_or_si512(_mm512_srli_epi64(a.l[3], 36),
+                               _mm512_slli_epi64(a.l[4], 16));
+  long long* q = (long long*)base;
+  __m512i idx = _mm512_setr_epi64(0, 4, 8, 12, 16, 20, 24, 28);
+  _mm512_i64scatter_epi64(q, idx, l0, 8);
+  _mm512_i64scatter_epi64(q + 1, idx, l1, 8);
+  _mm512_i64scatter_epi64(q + 2, idx, l2, 8);
+  _mm512_i64scatter_epi64(q + 3, idx, l3, 8);
+}
+
+inline V52 v52_bcast(const Fe52& a) {
+  V52 o;
+  for (int k = 0; k < 5; k++) o.l[k] = _mm512_set1_epi64(a.v[k]);
+  return o;
+}
+
+inline void v52_csub_p(V52& v, const F52& f) {
+  __m512i mask = _mm512_set1_epi64(MASK52);
+  __m512i d[5];
+  __mmask8 borrow = 0;
+  for (int k = 0; k < 5; k++) {
+    __m512i pk = _mm512_set1_epi64(f.p[k]);
+    __m512i bw = _mm512_maskz_set1_epi64(borrow, 1);
+    __m512i rhs = _mm512_add_epi64(pk, bw);
+    __m512i t = _mm512_sub_epi64(v.l[k], rhs);
+    borrow = _mm512_cmplt_epu64_mask(v.l[k], rhs);
+    d[k] = _mm512_and_si512(t, mask);
+  }
+  __mmask8 keep_sub = ~borrow;
+  for (int k = 0; k < 5; k++)
+    v.l[k] = _mm512_mask_blend_epi64(keep_sub, v.l[k], d[k]);
+}
+
+inline V52 v52_add(const V52& a, const V52& b, const F52& f) {
+  __m512i mask = _mm512_set1_epi64(MASK52);
+  V52 o;
+  __m512i carry = _mm512_setzero_si512();
+  for (int k = 0; k < 5; k++) {
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(a.l[k], b.l[k]), carry);
+    o.l[k] = _mm512_and_si512(s, mask);
+    carry = _mm512_srli_epi64(s, 52);
+  }
+  v52_csub_p(o, f);
+  return o;
+}
+
+inline V52 v52_sub(const V52& a, const V52& b, const F52& f) {
+  __m512i mask = _mm512_set1_epi64(MASK52);
+  V52 t;
+  __mmask8 borrow = 0;
+  for (int k = 0; k < 5; k++) {
+    __m512i bw = _mm512_maskz_set1_epi64(borrow, 1);
+    __m512i rhs = _mm512_add_epi64(b.l[k], bw);
+    __m512i d = _mm512_sub_epi64(a.l[k], rhs);
+    borrow = _mm512_cmplt_epu64_mask(a.l[k], rhs);
+    t.l[k] = _mm512_and_si512(d, mask);
+  }
+  __m512i carry = _mm512_setzero_si512();
+  V52 o;
+  for (int k = 0; k < 5; k++) {
+    __m512i pk = _mm512_maskz_set1_epi64(borrow, f.p[k]);
+    __m512i s = _mm512_add_epi64(_mm512_add_epi64(t.l[k], pk), carry);
+    o.l[k] = _mm512_and_si512(s, mask);
+    carry = _mm512_srli_epi64(s, 52);
+  }
+  return o;
+}
+
+inline V52 v52_mul(const V52& a, const V52& b, const F52& f) {
+  __m512i zero = _mm512_setzero_si512();
+  __m512i mask = _mm512_set1_epi64(MASK52);
+  __m512i n0 = _mm512_set1_epi64(f.n0inv);
+  __m512i p[5];
+  for (int k = 0; k < 5; k++) p[k] = _mm512_set1_epi64(f.p[k]);
+  __m512i t[6];
+  for (int k = 0; k < 6; k++) t[k] = zero;
+  for (int i = 0; i < 5; i++) {
+    __m512i ai = a.l[i];
+    t[0] = _mm512_madd52lo_epu64(t[0], ai, b.l[0]);
+    t[1] = _mm512_madd52lo_epu64(t[1], ai, b.l[1]);
+    t[2] = _mm512_madd52lo_epu64(t[2], ai, b.l[2]);
+    t[3] = _mm512_madd52lo_epu64(t[3], ai, b.l[3]);
+    t[4] = _mm512_madd52lo_epu64(t[4], ai, b.l[4]);
+    t[1] = _mm512_madd52hi_epu64(t[1], ai, b.l[0]);
+    t[2] = _mm512_madd52hi_epu64(t[2], ai, b.l[1]);
+    t[3] = _mm512_madd52hi_epu64(t[3], ai, b.l[2]);
+    t[4] = _mm512_madd52hi_epu64(t[4], ai, b.l[3]);
+    t[5] = _mm512_madd52hi_epu64(t[5], ai, b.l[4]);
+    __m512i m = _mm512_and_si512(
+        _mm512_madd52lo_epu64(zero, t[0], n0), mask);
+    t[0] = _mm512_madd52lo_epu64(t[0], m, p[0]);
+    t[1] = _mm512_madd52lo_epu64(t[1], m, p[1]);
+    t[2] = _mm512_madd52lo_epu64(t[2], m, p[2]);
+    t[3] = _mm512_madd52lo_epu64(t[3], m, p[3]);
+    t[4] = _mm512_madd52lo_epu64(t[4], m, p[4]);
+    t[1] = _mm512_madd52hi_epu64(t[1], m, p[0]);
+    t[2] = _mm512_madd52hi_epu64(t[2], m, p[1]);
+    t[3] = _mm512_madd52hi_epu64(t[3], m, p[2]);
+    t[4] = _mm512_madd52hi_epu64(t[4], m, p[3]);
+    t[5] = _mm512_madd52hi_epu64(t[5], m, p[4]);
+    __m512i c0 = _mm512_srli_epi64(t[0], 52);
+    t[0] = _mm512_add_epi64(t[1], c0);
+    t[1] = t[2];
+    t[2] = t[3];
+    t[3] = t[4];
+    t[4] = t[5];
+    t[5] = zero;
+  }
+  V52 o;
+  __m512i carry = zero;
+  for (int k = 0; k < 5; k++) {
+    __m512i v = _mm512_add_epi64(t[k], carry);
+    o.l[k] = _mm512_and_si512(v, mask);
+    carry = _mm512_srli_epi64(v, 52);
+  }
+  v52_csub_p(o, f);
+  return o;
+}
+
+// horizontal sum of 8 lanes into one canonical-52 element
+inline Fe52 v52_hsum(const V52& a, const F52& f) {
+  alignas(64) u64 lane[5][8];
+  for (int k = 0; k < 5; k++) _mm512_store_si512(lane[k], a.l[k]);
+  Fe52 acc;
+  for (int k = 0; k < 5; k++) acc.v[k] = lane[k][0];
+  for (int j = 1; j < 8; j++) {
+    Fe52 x;
+    for (int k = 0; k < 5; k++) x.v[k] = lane[k][j];
+    f.add(acc, acc, x);
+  }
+  return acc;
+}
+
+#else
+inline bool fv_has_ifma() { return false; }
+#endif  // __AVX512IFMA__
+
 }  // namespace
 
 extern "C" {
@@ -268,6 +576,56 @@ void fv_sc1_evals(uint8_t* out, const uint8_t* eq, const uint8_t* az,
                   const uint8_t* bz, const uint8_t* cz, const uint8_t* e,
                   const uint8_t* u_m, i64 half, int field) {
   const Field& f = F(field);
+#ifdef REEF_FV_IFMA
+  // 8-wide IFMA: tables are 2^256-domain; each radix-2^52 mul drifts the
+  // exponent by 2^-4.  e premultiplies by 2^256 (one mul) to land on the
+  // az*bz / u*cz product exponent (252); the eq product drops to 248,
+  // fixed by one c12 = 2^12 mul per output.
+  if (fv_has_ifma() && half >= 8 && (half % 8) == 0) {
+    const F52& f5 = F52_of(field);
+    Fe um4;
+    load(um4, u_m);
+    Fe52 um52;
+    repack52(um52, um4.v);
+    V52 um = v52_bcast(um52);
+    V52 cr64 = v52_bcast(f5.cr64);
+    V52 sums[4];
+    for (int t = 0; t < 4; t++)
+      for (int k = 0; k < 5; k++) sums[t].l[k] = _mm512_setzero_si512();
+    for (i64 b = 0; b < half; b += 8) {
+      V52 lo[5], d[5];
+      const uint8_t* tabs[5] = {eq, az, bz, cz, e};
+      for (int k = 0; k < 5; k++) {
+        lo[k] = v52_load8(tabs[k] + 32 * b);
+        V52 hi = v52_load8(tabs[k] + 32 * (b + half));
+        if (k == 4) {                      // e -> exponent 252
+          lo[k] = v52_mul(lo[k], cr64, f5);
+          hi = v52_mul(hi, cr64, f5);
+        }
+        d[k] = v52_sub(hi, lo[k], f5);
+      }
+      V52 cur[5];
+      for (int k = 0; k < 5; k++) cur[k] = lo[k];
+      for (int t = 0; t < 4; t++) {
+        if (t > 0)
+          for (int k = 0; k < 5; k++) cur[k] = v52_add(cur[k], d[k], f5);
+        V52 ab = v52_mul(cur[1], cur[2], f5);
+        V52 uc = v52_mul(um, cur[3], f5);
+        V52 inner = v52_sub(v52_sub(ab, uc, f5), cur[4], f5);
+        V52 term = v52_mul(cur[0], inner, f5);
+        sums[t] = v52_add(sums[t], term, f5);
+      }
+    }
+    for (int t = 0; t < 4; t++) {
+      Fe52 s = v52_hsum(sums[t], f5);
+      f5.mul(s, s, f5.c12);              // exponent 248 -> canonical
+      Fe o4;
+      repack64(o4.v, s);
+      store(out + 32 * t, o4);
+    }
+    return;
+  }
+#endif
   Fe um;
   load(um, u_m);
   Fe sums[4];
@@ -307,6 +665,39 @@ void fv_sc1_evals(uint8_t* out, const uint8_t* eq, const uint8_t* az,
 void fv_sc2_evals(uint8_t* out, const uint8_t* m, const uint8_t* zt,
                   i64 half, int field) {
   const Field& f = F(field);
+#ifdef REEF_FV_IFMA
+  // 8-wide IFMA; m*z lands on exponent 252, fixed by c8 = 2^8 per output
+  if (fv_has_ifma() && half >= 8 && (half % 8) == 0) {
+    const F52& f5 = F52_of(field);
+    V52 sums[3];
+    for (int t = 0; t < 3; t++)
+      for (int k = 0; k < 5; k++) sums[t].l[k] = _mm512_setzero_si512();
+    for (i64 b = 0; b < half; b += 8) {
+      V52 mlo = v52_load8(m + 32 * b);
+      V52 mhi = v52_load8(m + 32 * (b + half));
+      V52 zlo = v52_load8(zt + 32 * b);
+      V52 zhi = v52_load8(zt + 32 * (b + half));
+      V52 md = v52_sub(mhi, mlo, f5);
+      V52 zd = v52_sub(zhi, zlo, f5);
+      V52 mc = mlo, zc = zlo;
+      for (int t = 0; t < 3; t++) {
+        if (t > 0) {
+          mc = v52_add(mc, md, f5);
+          zc = v52_add(zc, zd, f5);
+        }
+        sums[t] = v52_add(sums[t], v52_mul(mc, zc, f5), f5);
+      }
+    }
+    for (int t = 0; t < 3; t++) {
+      Fe52 s = v52_hsum(sums[t], f5);
+      f5.mul(s, s, f5.c8);               // exponent 252 -> canonical
+      Fe o4;
+      repack64(o4.v, s);
+      store(out + 32 * t, o4);
+    }
+    return;
+  }
+#endif
   Fe sums[3];
   memset(sums, 0, sizeof(sums));
   for (i64 b = 0; b < half; b++) {
@@ -342,6 +733,39 @@ void fv_sc2_evals(uint8_t* out, const uint8_t* m, const uint8_t* zt,
 void fv_nl_round(uint8_t* out, const uint8_t* t_tab, const uint8_t* eq_tab,
                  i64 half, int field) {
   const Field& f = F(field);
+#ifdef REEF_FV_IFMA
+  // 8-wide IFMA; all products land on exponent 252, c8 fixup per output
+  if (fv_has_ifma() && half >= 8 && (half % 8) == 0) {
+    const F52& f5 = F52_of(field);
+    V52 sx, sxsq, scon;
+    for (int k = 0; k < 5; k++) {
+      sx.l[k] = _mm512_setzero_si512();
+      sxsq.l[k] = _mm512_setzero_si512();
+      scon.l[k] = _mm512_setzero_si512();
+    }
+    for (i64 b = 0; b < half; b += 8) {
+      V52 t0 = v52_load8(t_tab + 32 * b);
+      V52 t1 = v52_load8(t_tab + 32 * (b + half));
+      V52 e0 = v52_load8(eq_tab + 32 * b);
+      V52 e1 = v52_load8(eq_tab + 32 * (b + half));
+      V52 ts = v52_sub(t1, t0, f5);
+      V52 es = v52_sub(e1, e0, f5);
+      sxsq = v52_add(sxsq, v52_mul(ts, es, f5), f5);
+      sx = v52_add(sx, v52_mul(es, t0, f5), f5);
+      sx = v52_add(sx, v52_mul(ts, e0, f5), f5);
+      scon = v52_add(scon, v52_mul(t0, e0, f5), f5);
+    }
+    const V52* vs[3] = {&sxsq, &sx, &scon};
+    for (int t = 0; t < 3; t++) {
+      Fe52 s = v52_hsum(*vs[t], f5);
+      f5.mul(s, s, f5.c8);
+      Fe o4;
+      repack64(o4.v, s);
+      store(out + 32 * t, o4);
+    }
+    return;
+  }
+#endif
   Fe xsq, x, con;
   memset(xsq.v, 0, 32);
   memset(x.v, 0, 32);
@@ -374,6 +798,28 @@ void fv_nl_round(uint8_t* out, const uint8_t* t_tab, const uint8_t* eq_tab,
 // in-place Montgomery-domain table fold: tab[b] += r*(tab[b+half]-tab[b])
 void fv_fold_mont(uint8_t* tab, const uint8_t* r, i64 half, int field) {
   const Field& f = F(field);
+#ifdef REEF_FV_IFMA
+  // 8-wide IFMA: r converts to the 2^260 domain (mul by 2^520), so
+  // mul52(r260, d256) = r*d at exponent 256 EXACTLY — no fixups
+  if (fv_has_ifma() && half >= 8 && (half % 8) == 0) {
+    const F52& f5 = F52_of(field);
+    Fe r4;
+    load(r4, r);
+    Fe52 r52;
+    repack52(r52, r4.v);
+    f5.mul(r52, r52, f5.r260);
+    V52 rv = v52_bcast(r52);
+    for (i64 b = 0; b < half; b += 8) {
+      V52 lo = v52_load8(tab + 32 * b);
+      V52 hi = v52_load8(tab + 32 * (b + half));
+      V52 d = v52_sub(hi, lo, f5);
+      V52 t = v52_mul(rv, d, f5);
+      lo = v52_add(lo, t, f5);
+      v52_store8(tab + 32 * b, lo);
+    }
+    return;
+  }
+#endif
   Fe rm;
   load(rm, r);
   f.to_mont(rm, rm);
