@@ -121,14 +121,23 @@ def bench_msm_native(n=1 << 14):
     from reef_tpu.ec.native_msm import msm_native
 
     RNG = random.Random(5)
-    pts = [PALLAS.mul(i + 2, PALLAS.gen) for i in range(256)]
-    pts = (pts * (n // 256 + 1))[:n]
+    # DISTINCT points (production Pedersen bases are): repeated points
+    # collide in buckets and measure the rare doubling path instead
+    pts = []
+    acc = PALLAS.gen
+    for i in range(n):
+        acc = (PALLAS.mul(RNG.randrange(1, 1 << 64), PALLAS.gen)
+               if i % 512 == 0 else PALLAS.add(acc, PALLAS.gen))
+        pts.append(acc)
     scalars = [RNG.randrange(PALLAS.order) for _ in range(n)]
     msm_native(PALLAS, scalars[:8], pts[:8])  # warm build
-    t0 = time.time()
-    msm_native(PALLAS, scalars, pts)
-    dt = time.time() - t0
-    return n / dt
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        msm_native(PALLAS, scalars, pts)
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return n / best
 
 
 def bench_sumcheck_device(ell=10, iters=5):
