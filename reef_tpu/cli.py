@@ -101,11 +101,55 @@ def build_safa(args, ab: List[int]) -> SAFA:
 
 
 def main(argv=None):
+    real = sys.argv[1:] if argv is None else argv
+    if real and real[0] == "serve":
+        return serve()
     try:
         return _main(argv)
     except (ValueError, AssertionError) as e:
         print(f"error: {e}", file=sys.stderr)
         sys.exit(1)
+
+
+def serve():
+    """Long-lived JSON-lines worker: one CLI request per stdin line.
+
+    `python -m reef_tpu.cli serve` reads {"argv": [...]} objects (the same
+    arguments as one-shot invocations) and answers one JSON line per
+    request: {"ok": bool, "output": str, "error": str?}.  A single process
+    amortizes the fixed per-invocation costs — the jax plugin import,
+    generator/constant caches, Poseidon gadget templates and the
+    circuit-stack cache — across every proof, which is the deployment
+    shape for a proving service (the reference is strictly one-shot;
+    framework.rs has no server mode)."""
+    import contextlib
+    import io
+    import json
+
+    print(json.dumps({"ready": True}), flush=True)
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        resp = {"ok": False, "output": ""}
+        try:
+            req = json.loads(line)
+            argv = req["argv"]
+            assert isinstance(argv, list) and all(
+                isinstance(a, str) for a in argv), "argv: list of strings"
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                try:
+                    _main(argv)
+                    resp["ok"] = True
+                except SystemExit as e:   # argparse errors / FAILED verify
+                    resp["ok"] = (e.code or 0) == 0
+                    if not resp["ok"]:
+                        resp["error"] = f"exit {e.code}"
+            resp["output"] = buf.getvalue()
+        except Exception as e:
+            resp["error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(resp), flush=True)
 
 
 def _main(argv=None):
