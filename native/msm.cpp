@@ -1209,6 +1209,34 @@ void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
   pasta_msm_idx(curve_id, n, scalars, points, nullptr, out);
 }
 
+// Bulk point validation (the generator-cache integrity check): returns the
+// first index whose (x, y) is out of range or off-curve (y^2 != x^3 + 5),
+// or -1 when all pass.  Identity-flagged entries are accepted.
+int64_t pasta_on_curve(int curve_id, int64_t n, const uint8_t* points) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+  Fe five = {{5, 0, 0, 0}};
+  f.to_mont(five, five);
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* pp = points + 65 * i;
+    if (pp[64]) continue;
+    Fe x, y;
+    memcpy(x.v, pp, 32);
+    memcpy(y.v, pp + 32, 32);
+    if (geq(x.v, f.c.p) || geq(y.v, f.c.p)) return i;
+    f.to_mont(x, x);
+    f.to_mont(y, y);
+    Fe y2, x2, x3, rhs;
+    f.mul(y2, y, y);
+    f.mul(x2, x, x);
+    f.mul(x3, x2, x);
+    f.add(rhs, x3, five);
+    f.sub(rhs, y2, rhs);
+    if (rhs.v[0] | rhs.v[1] | rhs.v[2] | rhs.v[3]) return i;
+  }
+  return -1;
+}
+
 // Row-batched Pedersen commits (the Hyrax matrix commit): out[r] is the
 // AFFINE point  sum_j scalars[r*n_cols+j] * basis[j]  +  blinds[r] * H.
 // One call loads the shared basis once and threads across rows (the

@@ -72,6 +72,28 @@ class Transcript:
 _GENS_MEM: dict = {}
 
 
+def _validate_points(cv: Curve, pts: list) -> bool:
+    """Range + on-curve check for a point list (native bulk path when
+    available — the per-point python check was ~0.5s/process on the
+    cached generator sets)."""
+    try:
+        from ..ec.native_msm import _load, _pack_points
+        import ctypes
+        lib = _load()
+        if lib is not None:
+            from ..ec.pasta import PALLAS
+            fn = lib.pasta_on_curve
+            fn.restype = ctypes.c_int64
+            buf = bytes(_pack_points(pts))
+            bad = fn(ctypes.c_int(0 if cv is PALLAS else 1),
+                     ctypes.c_int64(len(pts)), buf)
+            return bad == -1
+    except Exception:
+        pass
+    return all(x < cv.p and y < cv.p and cv.on_curve((x, y))
+               for (x, y) in pts)
+
+
 def _cached_gens(cv: Curve, label: bytes, n: int):
     """Disk-cached deterministic generator derivation (try-and-increment
     hash-to-curve costs ~2ms/point; suites re-derive thousands per
@@ -118,11 +140,8 @@ def _cached_gens(cv: Curve, label: bytes, n: int):
             for i in range(cnt):
                 x = int.from_bytes(body[64 * i:64 * i + 32], "big")
                 y = int.from_bytes(body[64 * i + 32:64 * i + 64], "big")
-                pt = (x, y)
-                if x >= cv.p or y >= cv.p or not cv.on_curve(pt):
-                    ok = False
-                    break
-                cand.append(pt)
+                cand.append((x, y))
+            ok = cnt == 0 or _validate_points(cv, cand)
             if ok and cnt:
                 for i in sorted({0, cnt - 1, cnt // 2, cnt // 3}):
                     expect = cv.hash_to_curve(label + b"/"
