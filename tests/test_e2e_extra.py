@@ -129,3 +129,59 @@ def test_random_snark_e2e_fuzz():
         assert not ok_bad, (rstr, doc, "tampered proof accepted")
         ran += 1
     assert ran >= 4
+
+
+def test_random_snark_e2e_fuzz_proj_merkle():
+    """Projection- and merkle-mode variants of the full-SNARK fuzz:
+    skip-prefixed random tails (the ignorable-prefix shape projections
+    need) and merkle-mode commitments, through prove + verify."""
+    import random
+    import re as pyre
+
+    from reef_tpu.frontend import parser
+    from reef_tpu.frontend import regex as R
+    from reef_tpu.frontend.safa import SAFA
+
+    rng = random.Random(60606)
+
+    def gen(depth):
+        if depth == 0:
+            return rng.choice(["a", "b", "[ab]"])
+        p = rng.random()
+        if p < 0.4:
+            return gen(depth - 1) + gen(depth - 1)
+        if p < 0.7:
+            return "(" + gen(depth - 1) + "|" + gen(depth - 1) + ")"
+        return gen(depth - 1)
+
+    ran_proj = ran_merkle = 0
+    trial = 0
+    while (ran_proj < 2 or ran_merkle < 2) and trial < 200:
+        trial += 1
+        tail = gen(2)
+        skip = rng.randrange(4, 40)
+        rstr = f"^.{{{skip}}}{tail}$"
+        try:
+            safa = SAFA("ab", R.simpl(parser.parse(rstr)))
+        except NotImplementedError:
+            continue
+        if safa.num_states() > 40:
+            continue
+        doc = None
+        for _ in range(40):
+            t = "".join(rng.choice("ab") for _ in range(len(tail)))
+            cand = "".join(rng.choice("ab") for _ in range(skip)) + t
+            if pyre.fullmatch(rstr[1:-1], cand):
+                doc = cand
+                break
+        if doc is None:
+            continue
+        if ran_proj < 2:
+            _, _, ok = e2e(rstr, "ab", doc, batch_size=2, projections=True)
+            assert ok, ("proj", rstr, doc)
+            ran_proj += 1
+        else:
+            _, _, ok = e2e(rstr, "ab", doc, batch_size=2, merkle=True)
+            assert ok, ("merkle", rstr, doc)
+            ran_merkle += 1
+    assert ran_proj >= 2 and ran_merkle >= 2
