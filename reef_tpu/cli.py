@@ -55,6 +55,14 @@ def build_alphabet(args) -> List[int]:
             set(range(ord("A"), ord("Z") + 1)) | \
             set(range(ord("0"), ord("9") + 1))
         ab = [c for c in ab if c in keep]
+    if getattr(args, "basic_english", False):
+        # the reference's BasicEnglishEncoder set (config.rs:353-368):
+        # letters + digits + [,.!?;:-'"$&*+@\] + space/newline
+        keep = set(range(ord("a"), ord("z") + 1)) | \
+            set(range(ord("A"), ord("Z") + 1)) | \
+            set(range(ord("0"), ord("9") + 1)) | \
+            {ord(c) for c in ",.!?;:-'\"$&*+@\\ \n"}
+        ab = [c for c in ab if c in keep]
     if args.ignore_whitespace:
         ws = {ord(c) for c in " \t\n\r\f\v"}
         ab = [c for c in ab if c not in ws]
@@ -181,6 +189,7 @@ def _main(argv=None):
     ap.add_argument("--checkpoint-every", type=int, default=8)
     ap.add_argument("--metrics", default=None)
     ap.add_argument("--alpha-numeric", action="store_true")
+    ap.add_argument("--basic-english", action="store_true")
     ap.add_argument("--ignore-whitespace", action="store_true")
     ap.add_argument("--case-insensitive", action="store_true")
     args = ap.parse_args(argv)
