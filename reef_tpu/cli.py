@@ -108,8 +108,36 @@ def build_safa(args, ab: List[int]) -> SAFA:
     return safa
 
 
+def _force_host_jax() -> None:
+    """Route any lazy jax use to host XLA unless device offload is opted in.
+
+    The image's boot hook registers the tunneled-TPU plugin with jax in
+    *every* python process, but the default prove/verify path is host-native
+    — device offload is explicit opt-in via REEF_DEVICE_SUMCHECK /
+    REEF_DEVICE_MSM (the reference likewise pays no GPU init, main.rs:18).
+    The package's own import chain is jax-free (ops/poseidon.py forwards
+    device names lazily), so the only remaining exposure is a lazy jax
+    import inside a run (e.g. the Merkle device build): pin it to the CPU
+    backend so a one-shot CLI run never dials the tunnel — a wedged tunnel
+    otherwise blocks the whole invocation.  Opt out with REEF_KEEP_AXON=1.
+    (JAX_PLATFORMS=cpu in the env does NOT override the plugin once
+    registered; jax.config.update after import does.)"""
+    env = os.environ
+    if (not env.get("PALLAS_AXON_POOL_IPS")
+            or env.get("REEF_KEEP_AXON")
+            or env.get("REEF_DEVICE_SUMCHECK")
+            or env.get("REEF_DEVICE_MSM")):
+        return
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def main(argv=None):
     real = sys.argv[1:] if argv is None else argv
+    _force_host_jax()
     if real and real[0] == "serve":
         return serve()
     try:

@@ -1,4 +1,4 @@
-"""Batched Poseidon permutation on TPU + SAFE sponge (host + traced flavors).
+"""SAFE Poseidon sponge: IO patterns + host duplex sponge (+ device forwards).
 
 Role in the system (mirrors neptune 8.1 in the reference):
   - prover-side Fiat-Shamir sponge for the nlookup sumcheck
@@ -9,90 +9,29 @@ Role in the system (mirrors neptune 8.1 in the reference):
     absorb/squeeze semantics, which is what makes proofs verify,
   - Nova's random oracle.
 
-The device permutation runs one `lax.scan` over all R_F + R_P rounds with a
-per-round full/partial mask, every field op batched over leading dims via the
-limb kernels.  Width t = 5 (arity 4) is the workhorse, matching
-`Sponge::api_constants` arity in the reference (framework.rs:70-74).
+This module is HOST-ONLY (python ints, no jax) so the CLI prove/verify import
+chain never pays the jax/plugin import.  The batched device permutation lives
+in reef_tpu.ops.poseidon_device; its public names (`permute`, `permute_jit`,
+`hash_elems`, `tag_elem`) are forwarded lazily via module `__getattr__`, so
+existing `poseidon.permute(...)` call sites keep working unchanged.
 """
 
 from __future__ import annotations
 
-import functools
 import hashlib
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 from . import field as F
-from . import limb
-from .limb import LimbField
-from .poseidon_constants import (FULL_ROUNDS, PARTIAL_ROUNDS, host_permutation,
-                                 poseidon_params)
+from .poseidon_constants import host_permutation
+
+_DEVICE_NAMES = ("permute", "permute_jit", "hash_elems", "tag_elem",
+                 "_device_consts")
 
 
-@functools.lru_cache(maxsize=None)
-def _device_consts(lf: LimbField, t: int):
-    """Round constants (n_rounds, t, N) and MDS (t, t, N), Montgomery-encoded."""
-    rc, mds = poseidon_params(lf.p_int, t)
-    n_rounds = FULL_ROUNDS + PARTIAL_ROUNDS[t]
-    rc_arr = lf.encode_host(list(rc)).reshape(n_rounds, t, limb.N)
-    mds_arr = lf.encode_host([mds[i][j] for i in range(t) for j in range(t)])
-    mds_arr = mds_arr.reshape(t, t, limb.N)
-    half = FULL_ROUNDS // 2
-    is_full = np.zeros(n_rounds, dtype=bool)
-    is_full[:half] = True
-    is_full[n_rounds - half:] = True
-    return rc_arr, mds_arr, is_full
-
-
-def permute(lf: LimbField, state, t: int | None = None):
-    """Poseidon permutation, batched: state (..., t, N_LIMBS) Montgomery."""
-    if t is None:
-        t = state.shape[-2]
-    rc, mds, is_full = _device_consts(lf, t)
-    rc = jnp.asarray(rc)
-    mds = jnp.asarray(mds)
-    is_full = jnp.asarray(is_full)
-
-    def round_fn(s, inputs):
-        rc_r, full = inputs
-        # add round constants
-        s = limb.add(lf, s, rc_r)
-        # S-box: lane 0 always; other lanes only in full rounds
-        s5 = limb.pow5(lf, s)
-        lane0 = jnp.zeros(s.shape[:-1], bool).at[..., 0].set(True)
-        keep = lane0 | jnp.broadcast_to(full, s.shape[:-1])
-        s = limb.select(keep, s5, s)
-        # MDS mix: out_i = sum_j mds[i][j] * s_j
-        prod = limb.mul(lf, s[..., None, :, :], mds)          # (..., t, t, N)
-        acc = prod[..., 0, :]
-        for j in range(1, t):
-            acc = limb.add(lf, acc, prod[..., j, :])
-        return acc, None
-
-    state, _ = jax.lax.scan(round_fn, state, (rc, is_full))
-    return state
-
-
-permute_jit = jax.jit(permute, static_argnums=(0, 2))
-
-
-def hash_elems(lf: LimbField, elems_mont, t: int = 5):
-    """One-shot batched hash of (..., t-1, N) Montgomery elems -> (..., N).
-
-    Fixed-length absorb of t-1 elements with a SAFE-style domain tag in the
-    capacity lane, one permutation, squeeze lane 1.  Used for Merkle nodes
-    and other fixed-arity hashing.
-    """
-    batch = elems_mont.shape[:-2]
-    io = IOPattern([("absorb", t - 1), ("squeeze", 1)])
-    tag = jnp.asarray(tag_elem(lf, io))
-    state = jnp.concatenate(
-        [jnp.broadcast_to(tag, batch + (1, limb.N)), elems_mont], axis=-2
-    )
-    out = permute(lf, state, t)
-    return out[..., 1, :]
+def __getattr__(name):
+    if name in _DEVICE_NAMES:
+        from . import poseidon_device
+        return getattr(poseidon_device, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -131,16 +70,6 @@ class IOPattern:
             h.update(w.to_bytes(4, "big"))
         h.update(self.domain)
         return int.from_bytes(h.digest()[:16], "big")
-
-
-@functools.lru_cache(maxsize=None)
-def _tag_cache(lf: LimbField, tag_int: int):
-    return lf.encode_host(tag_int % lf.p_int)
-
-
-def tag_elem(lf: LimbField, io: IOPattern):
-    """Montgomery-encoded field element for the pattern tag (cached)."""
-    return _tag_cache(lf, io.tag_int())
 
 
 class HostSponge:
