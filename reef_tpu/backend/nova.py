@@ -77,18 +77,53 @@ class R1CSShape:
         # one pass building the PACKED COO form (int64 row/col arrays +
         # canonical 32B-LE values); the tuple-list views A/B/C materialize
         # lazily for non-native fallbacks/tests, the native SparseMat and
-        # the digest consume the packed buffers directly
+        # the digest consume the packed buffers directly.  Stamped template
+        # segments (ConstraintList.items) renumber their precomputed numpy
+        # views in one vectorized shot instead of per-entry python loops —
+        # entry order (and hence the digest) matches the dict path exactly.
+        import numpy as _np
         fp = self.f.p
-        trips = [(_arr.array("q"), _arr.array("q"), bytearray())
-                 for _ in range(3)]
-        for i, row3 in enumerate(cs.constraints):
-            for (rows, cols, vals), lc in zip(trips, row3):
-                for col, v in lc.items():
-                    rows.append(i)
-                    cols.append(colmap[col])
-                    vals += (v % fp).to_bytes(32, "little")
-        self._packed_mats = tuple(
-            (rows, cols, bytes(vals)) for rows, cols, vals in trips)
+        colmap_np = _np.asarray(colmap, dtype=_np.int64)
+        segs = [[], [], []]
+        cur = [(_arr.array("q"), _arr.array("q"), bytearray())
+               for _ in range(3)]
+
+        def _flush():
+            for k in range(3):
+                rows, cols, vals = cur[k]
+                if len(rows):
+                    segs[k].append((rows.tobytes(), cols.tobytes(),
+                                    bytes(vals)))
+                    cur[k] = (_arr.array("q"), _arr.array("q"), bytearray())
+
+        row = 0
+        for it in cs.constraints.items():
+            if it[0] == "c":
+                for k in range(3):
+                    rows, cols, vals = cur[k]
+                    for col, v in it[1 + k].items():
+                        rows.append(row)
+                        cols.append(colmap[col])
+                        vals += (v % fp).to_bytes(32, "little")
+                row += 1
+            else:
+                _flush()
+                tpl, m_np = it[1], it[3]
+                mapped = colmap_np[m_np]
+                for k in range(3):
+                    trows, twires, tvals = tpl.packed[k]
+                    segs[k].append(((trows + row).tobytes(),
+                                    mapped[twires].tobytes(), tvals))
+                row += len(tpl.constraints)
+        _flush()
+        packed = []
+        for k in range(3):
+            rows = _arr.array("q")
+            cols = _arr.array("q")
+            rows.frombytes(b"".join(s[0] for s in segs[k]))
+            cols.frombytes(b"".join(s[1] for s in segs[k]))
+            packed.append((rows, cols, b"".join(s[2] for s in segs[k])))
+        self._packed_mats = tuple(packed)
         self._coo = [None, None, None]
 
         self._wit_cols = wit_cols

@@ -31,6 +31,117 @@ from ..ops.poseidon_constants import (FULL_ROUNDS, PARTIAL_ROUNDS,
 LC = Dict[int, int]
 
 
+class ConstraintList:
+    """Ordered constraint store: plain (A,B,C) dict rows interleaved with
+    stamped template segments kept SYMBOLIC (template + wire map).
+
+    Iteration materializes every row as dict triples (slow path: tests,
+    check_all, to_sparse); the folding layer instead walks `items()` and
+    renumbers each segment's packed numpy arrays in one vectorized shot
+    (nova.R1CSShape) — per-entry python loops over the ~1M matrix entries
+    of the augmented circuit were a top setup cost."""
+
+    __slots__ = ("_items", "_len")
+
+    def __init__(self):
+        self._items: list = []      # ("c", a, b, c) | ("s", tpl, m, m_np)
+        self._len = 0
+
+    def append(self, abc):
+        a, b, c = abc
+        self._items.append(("c", a, b, c))
+        self._len += 1
+
+    def append_stamp(self, tpl, m: List[int], m_np):
+        self._items.append(("s", tpl, m, m_np))
+        self._len += len(tpl.constraints)
+
+    def items(self):
+        return self._items
+
+    def __len__(self):
+        return self._len
+
+    def __getitem__(self, i: int):
+        if i < 0:
+            i += self._len
+        pos = 0
+        for it in self._items:
+            n = 1 if it[0] == "c" else len(it[1].constraints)
+            if i < pos + n:
+                if it[0] == "c":
+                    return it[1], it[2], it[3]
+                _, tpl, m, _m_np = it
+                ak, av, bk, bv, ck, cv = tpl.constraints[i - pos]
+                return (dict(zip([m[k] for k in ak], av)),
+                        dict(zip([m[k] for k in bk], bv)),
+                        dict(zip([m[k] for k in ck], cv)))
+            pos += n
+        raise IndexError(i)
+
+    def __iter__(self):
+        for it in self._items:
+            if it[0] == "c":
+                yield it[1], it[2], it[3]
+            else:
+                _, tpl, m, _m_np = it
+                for ak, av, bk, bv, ck, cv in tpl.constraints:
+                    yield (dict(zip([m[k] for k in ak], av)),
+                           dict(zip([m[k] for k in bk], bv)),
+                           dict(zip([m[k] for k in ck], cv)))
+
+
+class ComputerList:
+    """Ordered witness-computer store; stamped template segments stay
+    SYMBOLIC (template + wire map) like ConstraintList.
+
+    Iteration materializes (wire, closure, op-dict) triples for the pure-
+    python fallback; the native witness interpreter walks `items()` and
+    splices each template's precompiled op block in one vectorized shot
+    (ops/native_fieldvec.WitnessProgram)."""
+
+    __slots__ = ("_items", "_len")
+
+    def __init__(self):
+        self._items: list = []      # ("c", idx, fn, op) | ("s", tpl, m, m_np, cs)
+        self._len = 0
+
+    def append(self, entry):
+        idx, fn, op = entry
+        self._items.append(("c", idx, fn, op))
+        self._len += 1
+
+    def append_stamp(self, tpl, m: List[int], m_np, cs):
+        self._items.append(("s", tpl, m, m_np, cs))
+        self._len += len(tpl.computers)
+
+    def items(self):
+        return self._items
+
+    def __len__(self):
+        return self._len
+
+    def __iter__(self):
+        for it in self._items:
+            if it[0] == "c":
+                yield it[1], it[2], it[3]
+            else:
+                _, tpl, m, _m_np, cs = it
+                p = cs.f.p
+                for idx, op in tpl.computers:
+                    if op[0] == "mul":
+                        a = {m[k]: v for k, v in op[1].items()}
+                        b = {m[k]: v for k, v in op[2].items()}
+                        yield (m[idx],
+                               lambda z, a=a, b=b: cs.eval_lc(a, z)
+                               * cs.eval_lc(b, z) % p, ("mul", a, b))
+                    else:
+                        lc = {m[k]: v for k, v in op[1].items()}
+                        yield (m[idx],
+                               lambda z, lc=lc: cs.eval_lc(lc, z),
+                               ("lc", lc))
+
+
 def lc_const(c: int) -> LC:
     return {0: c} if c else {}
 
@@ -61,13 +172,13 @@ class ConstraintSystem:
         self.n_vars = 1  # index 0 = ONE
         self.names: Dict[str, int] = {}
         self.input_names: List[str] = []
-        self.constraints: List[Tuple[LC, LC, LC]] = []
+        self.constraints = ConstraintList()
         # ordered witness computers: (var_idx, fn(assignment_list) -> int,
         # op) where op is an optional structured descriptor the native
         # witness interpreter can execute (("lc", lc) / ("mul", a, b) /
         # ("bit", x, j) / ("inv0", a) / ("eq0", a)); op=None falls back to
         # the python closure.
-        self.computers: List[Tuple[int, Callable, object]] = []
+        self.computers = ComputerList()
 
     # -- variables ---------------------------------------------------------
 
@@ -296,6 +407,26 @@ class _PoseidonTemplate:
             self.computers.append((idx, op))
         self.outs = [(tuple(o.keys()), tuple(o.values())) for o in outs]
 
+        # packed per-matrix views (relative row, TEMPLATE wire id, reduced
+        # 32B-LE coeff) for vectorized renumbering in nova.R1CSShape —
+        # entry order matches dict-materialized iteration exactly, so the
+        # shape digest is unchanged
+        import numpy as _np
+        p = field.p
+        packed = []
+        for k in range(3):
+            rows, wires, vals = [], [], bytearray()
+            for i, row6 in enumerate(self.constraints):
+                ks, vs = row6[2 * k], row6[2 * k + 1]
+                for w, v in zip(ks, vs):
+                    rows.append(i)
+                    wires.append(w)
+                    vals += (v % p).to_bytes(32, "little")
+            packed.append((_np.asarray(rows, dtype=_np.int64),
+                           _np.asarray(wires, dtype=_np.int64),
+                           bytes(vals)))
+        self.packed = tuple(packed)
+
     def stamp(self, cs: ConstraintSystem, state: List[LC]) -> List[LC]:
         p = self.f.p
         assert cs.f.p == p and len(state) == self.t
@@ -318,24 +449,10 @@ class _PoseidonTemplate:
         for j in range(self.n_aux):
             m[1 + self.t + j] = base + j
 
-        app = cs.constraints.append
-        for ak, av, bk, bv, ck, cv in self.constraints:
-            app((dict(zip([m[k] for k in ak], av)),
-                 dict(zip([m[k] for k in bk], bv)),
-                 dict(zip([m[k] for k in ck], cv))))
-
-        capp = cs.computers.append
-        for idx, op in self.computers:
-            if op[0] == "mul":
-                a = {m[k]: v for k, v in op[1].items()}
-                b = {m[k]: v for k, v in op[2].items()}
-                capp((m[idx],
-                      lambda z, a=a, b=b: cs.eval_lc(a, z)
-                      * cs.eval_lc(b, z) % p, ("mul", a, b)))
-            else:
-                lc = {m[k]: v for k, v in op[1].items()}
-                capp((m[idx], lambda z, lc=lc: cs.eval_lc(lc, z),
-                      ("lc", lc)))
+        import numpy as _np
+        m_np = _np.asarray(m, dtype=_np.int64)
+        cs.constraints.append_stamp(self, m, m_np)
+        cs.computers.append_stamp(self, m, m_np, cs)
 
         return [dict(zip([m[k] for k in ok], ov)) for ok, ov in self.outs]
 

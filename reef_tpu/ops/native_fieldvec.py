@@ -417,6 +417,45 @@ def dot(a: Sequence[int], b: Sequence[int], p: int) -> int:
 _OP_KIND = {"lc": 0, "mul": 1, "bit": 2, "inv0": 3, "eq0": 4}
 
 
+def _tpl_block(tpl, p: int):
+    """Precompiled witness-op block for a Poseidon stamping template
+    (backend/r1cs._PoseidonTemplate), cached on the template object:
+    (ops (n,4) int64 over TEMPLATE wires / 0-based local lc ids,
+     lc ends (cumulative, local), lc cols (template wires),
+     Montgomery coeff bytes, n_cols).  Splicing = wire renumbering via the
+    stamp's m_np + lc id/offset shifts — no per-entry python work."""
+    import numpy as _np
+    blk = getattr(tpl, "_fv_block", None)
+    if blk is not None and blk[5] == p:
+        return blk[:5]
+    ops: List[int] = []
+    ends: List[int] = []
+    cols: List[int] = []
+    coeffs: List[int] = []
+    for idx, op in tpl.computers:
+        kind = _OP_KIND[op[0]]
+        for k, v in op[1].items():
+            cols.append(k)
+            coeffs.append(v % p)
+        ends.append(len(cols))
+        a = len(ends) - 1
+        if kind == 1:
+            for k, v in op[2].items():
+                cols.append(k)
+                coeffs.append(v % p)
+            ends.append(len(cols))
+            b = len(ends) - 1
+        else:
+            b = 0
+        ops.extend((kind, idx, a, b))
+    blk = (_np.asarray(ops, dtype=_np.int64).reshape(-1, 4),
+           _np.asarray(ends, dtype=_np.int64),
+           _np.asarray(cols, dtype=_np.int64),
+           to_mont(coeffs, p), len(cols), p)
+    tpl._fv_block = blk
+    return blk[:5]
+
+
 class WitnessProgram:
     """Compiled form of a ConstraintSystem's ordered witness computers.
 
@@ -428,19 +467,37 @@ class WitnessProgram:
     framework.rs:561-572)."""
 
     def __init__(self, cs):
+        import numpy as _np
         p = cs.f.p
         self.p = p
         self.fid = FIELD_ID[p]
         self.n_vars = cs.n_vars
-        lc_off = [0]
-        cols: List[int] = []
+        # lc tables accumulate in CHUNKS: plain ops append python lists,
+        # stamped template segments splice precompiled numpy/Montgomery
+        # blocks (wire-renumbered in one vectorized shot) — per-entry
+        # python compilation of the ~60k template ops per augmented
+        # circuit dominated program-build time
+        lc_off = [0]                  # absolute cumulative entry ends
+        col_chunks: List[object] = []
+        coeff_chunks: List[bytes] = []
+        cols: List[int] = []          # current plain chunk
         coeffs: List[int] = []
+        col_base = 0
+
+        def flush_lc():
+            nonlocal col_base
+            if cols:
+                col_chunks.append(_np.asarray(cols, dtype=_np.int64))
+                coeff_chunks.append(to_mont(coeffs, p))
+                col_base += len(cols)
+                cols.clear()
+                coeffs.clear()
 
         def add_lc(lc) -> int:
             for k, v in lc.items():
                 cols.append(k)
                 coeffs.append(v % p)
-            lc_off.append(len(cols))
+            lc_off.append(col_base + len(cols))
             return len(lc_off) - 2
 
         # segments: ("n", ops_c_array, count) | ("p", [(idx, fn), ...])
@@ -459,7 +516,31 @@ class WitnessProgram:
                 segs.append(("p", list(cur_py)))
                 cur_py.clear()
 
-        for idx, fn, op in cs.computers:
+        items = cs.computers.items() if hasattr(cs.computers, "items") \
+            else [("c", idx, fn, op) for idx, fn, op in cs.computers]
+        for it in items:
+            if it[0] == "s":
+                _, tpl, _m, m_np, _cs = it
+                flush_py()
+                flush_native()
+                flush_lc()
+                ops, ends, tcols, tcoef, ncols = _tpl_block(tpl, p)
+                ops2 = ops.copy()
+                ops2[:, 1] = m_np[ops[:, 1]]            # output wires
+                shift = len(lc_off) - 1                 # lc id offset
+                ops2[:, 2] += shift
+                mulm = ops[:, 0] == 1                   # mul's b is an lc id
+                ops2[mulm, 3] += shift
+                flat = ops2.ravel()
+                arr = (ctypes.c_int64 * flat.size).from_buffer_copy(
+                    flat.tobytes())
+                segs.append(("n", arr, len(ops)))
+                lc_off.extend((ends + col_base).tolist())
+                col_chunks.append(m_np[tcols])
+                coeff_chunks.append(tcoef)
+                col_base += ncols
+                continue
+            _, idx, fn, op = it
             if op is None:
                 flush_native()
                 cur_py.append((idx, fn))
@@ -478,10 +559,17 @@ class WitnessProgram:
             cur_native.extend((kind, idx, a, b))
         flush_native()
         flush_py()
+        flush_lc()
         self.segs = segs
         self.lc_off = _c_i64(lc_off)
-        self.lc_cols = _c_i64(cols)
-        self.lc_coeff_m = to_mont(coeffs, p)
+        if col_chunks:
+            allc = col_chunks[0] if len(col_chunks) == 1 \
+                else _np.concatenate(col_chunks)
+            self.lc_cols = (ctypes.c_int64 * allc.size).from_buffer_copy(
+                allc.tobytes())
+        else:
+            self.lc_cols = _c_i64([])
+        self.lc_coeff_m = b"".join(coeff_chunks)
 
     def run(self, z: List[int], inputs) -> List[int]:
         buf = self._run_buf(z)
