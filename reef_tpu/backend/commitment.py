@@ -94,10 +94,38 @@ def _validate_points(cv: Curve, pts: list) -> bool:
                for (x, y) in pts)
 
 
-def _cached_gens(cv: Curve, label: bytes, n: int):
+def _validate_packed(cv: Curve, buf: bytes, n: int) -> bool:
+    """Range + on-curve check of a native-packed (65 B/point LE) buffer;
+    bulk C path when available, python decode fallback."""
+    try:
+        from ..ec.native_msm import _load
+        import ctypes
+        lib = _load()
+        if lib is not None:
+            from ..ec.pasta import PALLAS as _PL
+            fn = lib.pasta_on_curve
+            fn.restype = ctypes.c_int64
+            bad = fn(ctypes.c_int(0 if cv is _PL else 1),
+                     ctypes.c_int64(n), buf)
+            return bad == -1
+    except Exception:
+        pass
+    from ..ec.native_msm import _unpack_points
+    return all(pt is not None and pt[0] < cv.p and pt[1] < cv.p
+               and cv.on_curve(pt) for pt in _unpack_points(buf, n))
+
+
+def _pt_at(buf: bytes, i: int) -> Point:
+    return (int.from_bytes(buf[65 * i:65 * i + 32], "little"),
+            int.from_bytes(buf[65 * i + 32:65 * i + 64], "little"))
+
+
+def _cached_gens_packed(cv: Curve, label: bytes, n: int) -> bytes:
     """Disk-cached deterministic generator derivation (try-and-increment
     hash-to-curve costs ~2ms/point; suites re-derive thousands per
-    process otherwise).
+    process otherwise), returned in the native MSM's packed layout
+    (65 B/point little-endian) so the hot paths never materialize python
+    int tuples or re-pack (that cost ~0.6 s/process on the 2^16 basis).
 
     Derivation is per-index, so gens(label, m) is a PREFIX of
     gens(label, n) for m < n: the cache is keyed by label only and holds
@@ -106,69 +134,97 @@ def _cached_gens(cv: Curve, label: bytes, n: int):
     layer sits on top (committers for every proof structure share one
     basis per curve; see VectorCommitter).
 
-    The file holds a PLAIN INTEGER encoding (64 bytes/point, no pickle —
-    a pickle cache was a code-execution surface) plus a whole-file sha256.
-    On load every point is checked on-curve and a fixed subset is
-    re-derived from the label and compared; any mismatch falls back to the
-    full deterministic re-derivation.  (A local attacker who can write
-    ~/.cache can of course also precompute a consistent file for TAMPERED
-    generator sets only by breaking hash-to-curve's preimage structure —
-    the spot re-derivation pins the cached set to the real derivation at
-    the checked indices, and full paranoia mode is simply deleting the
+    The file holds the PLAIN packed encoding (no pickle — a pickle cache
+    was a code-execution surface) plus a whole-file sha256.  On load the
+    buffer is bulk-checked on-curve and a fixed subset is re-derived from
+    the label and compared; any mismatch falls back to the full
+    deterministic re-derivation.  (A local attacker who can write
+    ~/.cache can precompute a consistent file for TAMPERED generator sets
+    only by breaking hash-to-curve's preimage structure — the spot
+    re-derivation pins the cached set to the real derivation at the
+    checked indices, and full paranoia mode is simply deleting the
     cache.)"""
     import os
 
     mkey = (cv.name, label)
     mem = _GENS_MEM.get(mkey)
-    if mem is not None and len(mem) >= n:
-        return mem[:n]
+    if mem is not None and len(mem) >= 65 * n:
+        return mem[:65 * n]
 
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "reef_tpu")
     key = hashlib.sha256(cv.name.encode() + b"/" + label
                          ).hexdigest()[:24]
-    path = os.path.join(cache_dir, f"gens_{key}.bin")
+    path2 = os.path.join(cache_dir, f"gens2_{key}.bin")
+    path1 = os.path.join(cache_dir, f"gens_{key}.bin")
 
-    pts: List[Point] = []
-    try:
-        with open(path, "rb") as fh:
+    def _spot_ok(buf: bytes, cnt: int) -> bool:
+        for i in sorted({0, cnt - 1, cnt // 2, cnt // 3}):
+            expect = cv.hash_to_curve(label + b"/" + i.to_bytes(8, "big"))
+            if _pt_at(buf, i) != expect:
+                return False
+        return True
+
+    packed = b""
+    dirty = False                          # loaded-from-v1 / extended
+    try:                                   # v2: packed layout
+        with open(path2, "rb") as fh:
             raw = fh.read()
         body, chk = raw[:-32], raw[-32:]
-        cnt = len(body) // 64
-        if hashlib.sha256(body).digest() == chk and len(body) == 64 * cnt:
-            cand = []
-            ok = True
-            for i in range(cnt):
-                x = int.from_bytes(body[64 * i:64 * i + 32], "big")
-                y = int.from_bytes(body[64 * i + 32:64 * i + 64], "big")
-                cand.append((x, y))
-            ok = cnt == 0 or _validate_points(cv, cand)
-            if ok and cnt:
-                for i in sorted({0, cnt - 1, cnt // 2, cnt // 3}):
-                    expect = cv.hash_to_curve(label + b"/"
-                                              + i.to_bytes(8, "big"))
-                    if cand[i] != expect:
-                        ok = False
-                        break
-            if ok:
-                pts = cand
+        cnt = len(body) // 65
+        if (hashlib.sha256(body).digest() == chk and len(body) == 65 * cnt
+                and cnt and _validate_packed(cv, body, cnt)
+                and _spot_ok(body, cnt)):
+            packed = body
     except Exception:
-        pts = []
+        packed = b""
+    if not packed:
+        try:                               # v1 migration: 64 B/point BE
+            with open(path1, "rb") as fh:
+                raw = fh.read()
+            body, chk = raw[:-32], raw[-32:]
+            cnt = len(body) // 64
+            if (hashlib.sha256(body).digest() == chk
+                    and len(body) == 64 * cnt and cnt):
+                cand = bytearray(65 * cnt)
+                for i in range(cnt):
+                    x = int.from_bytes(body[64 * i:64 * i + 32], "big")
+                    y = int.from_bytes(body[64 * i + 32:64 * i + 64], "big")
+                    cand[65 * i:65 * i + 32] = x.to_bytes(32, "little")
+                    cand[65 * i + 32:65 * i + 64] = y.to_bytes(32, "little")
+                cand = bytes(cand)
+                if _validate_packed(cv, cand, cnt) and _spot_ok(cand, cnt):
+                    packed = cand
+                    dirty = True
+        except Exception:
+            packed = b""
 
-    if len(pts) < n:
-        pts = pts + [cv.hash_to_curve(label + b"/" + i.to_bytes(8, "big"))
-                     for i in range(len(pts), n)]
+    if len(packed) < 65 * n:
+        have = len(packed) // 65
+        tail = bytearray()
+        for i in range(have, n):
+            x, y = cv.hash_to_curve(label + b"/" + i.to_bytes(8, "big"))
+            tail += x.to_bytes(32, "little") + y.to_bytes(32, "little") \
+                + b"\x00"
+        packed = packed + bytes(tail)
+        dirty = True
+    if dirty:
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            body = b"".join(x.to_bytes(32, "big") + y.to_bytes(32, "big")
-                            for (x, y) in pts)
-            tmp = path + ".tmp.%d" % os.getpid()
+            tmp = path2 + ".tmp.%d" % os.getpid()
             with open(tmp, "wb") as fh:
-                fh.write(body + hashlib.sha256(body).digest())
-            os.replace(tmp, path)
+                fh.write(packed + hashlib.sha256(packed).digest())
+            os.replace(tmp, path2)
         except Exception:
             pass
-    _GENS_MEM[mkey] = pts
-    return pts[:n]
+    _GENS_MEM[mkey] = packed
+    return packed[:65 * n]
+
+
+def _cached_gens(cv: Curve, label: bytes, n: int) -> List[Point]:
+    """Generator list as python int tuples (compat wrapper over the packed
+    primary; prefer packed for hot paths)."""
+    from ..ec.native_msm import _unpack_points
+    return _unpack_points(_cached_gens_packed(cv, label, n), n)
 
 
 _BLIND_H: dict = {}
@@ -200,16 +256,23 @@ DEVICE_MSM_MIN_N = 256          # below this the host MSM always wins
 class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
-        self.G = _cached_gens(cv, label, n)
+        self.n = n
+        self._packed = _cached_gens_packed(cv, label, n)
+        self._G = None
         self.H = shared_blinding_gen(cv)
-        self._packed = None
         self._device_basis = None
 
+    @property
+    def G(self) -> List[Point]:
+        """Generators as int tuples — materialized lazily; the native
+        paths consume packed_G() and never pay this."""
+        if self._G is None:
+            from ..ec.native_msm import _unpack_points
+            self._G = _unpack_points(self._packed, self.n)
+        return self._G
+
     def packed_G(self):
-        """Native-packed basis for indexed MSMs (cached)."""
-        if self._packed is None:
-            from ..ec.native_msm import pack_points
-            self._packed = pack_points(self.G)
+        """Native-packed basis for indexed MSMs (the primary form)."""
         return self._packed
 
     def device_G(self):
@@ -244,8 +307,8 @@ class PedersenGens:
         commit); returns None when the native library is unavailable."""
         from ..ec.native_msm import msm_rows
         n_rows = len(blinds)
-        assert n_rows and len(flat) == n_rows * len(self.G)
-        return msm_rows(self.cv, n_rows, len(self.G), flat, blinds,
+        assert n_rows and len(flat) == n_rows * self.n
+        return msm_rows(self.cv, n_rows, self.n, flat, blinds,
                         self.packed_G(), self.H)
 
 

@@ -114,15 +114,18 @@ def test_gens_cache_tamper_falls_back(tmp_path, monkeypatch):
     honest = _cached_gens(VESTA, label, n)
     assert honest == VESTA.gens(label, n)
     cache_dir = tmp_path / ".cache" / "reef_tpu"
-    files = list(cache_dir.glob("gens_*.bin"))
+    files = list(cache_dir.glob("gens2_*.bin"))
     assert files, "cache file written"
     # tamper one coordinate and fix the checksum: spot-rederivation or
     # on-curve validation must reject and fall back to honest derivation
+    # (clear the in-memory layer so the tampered FILE is actually re-read)
     import hashlib
+    from reef_tpu.backend import commitment as CM
     raw = files[0].read_bytes()
     body = bytearray(raw[:-32])
     body[3] ^= 0x01
     files[0].write_bytes(bytes(body) + hashlib.sha256(bytes(body)).digest())
+    CM._GENS_MEM.pop((VESTA.name, label), None)
     again = _cached_gens(VESTA, label, n)
     assert again == honest
 
