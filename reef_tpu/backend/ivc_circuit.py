@@ -296,6 +296,14 @@ class AugmentedPrimary:
                            b"ivc_state", HASH_BITS, "hin")
         cs.enforce(lc_sub(lc_const(1), is_base),
                    lc_sub(nn_recompose(u2.x0), h_in), {})
+        # base-case binding: the h_in check above is multiplied out at
+        # step 0, so WITHOUT these constraints z_in would be a free choice
+        # and "z0 reaches zn" would be forgeable from an arbitrary start
+        # state (nova-snark instead feeds conditionally_select(z0, z_i,
+        # is_base) into the step circuit — same relation, one mul per slot
+        # either way)
+        for j in range(arity):
+            cs.enforce(is_base, lc_sub(z_in[j], z0[j]), {})
 
         folded, _ = fold_gadget(cs, pp, U2, u2, T2, F.P, "f2")
         U2_new = select_relaxed(cs, is_base, AllocRelaxed.default(), folded)

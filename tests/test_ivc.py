@@ -74,6 +74,35 @@ def test_ivc_tamper_rejected(smoke, field_name):
     assert not FW.run_verifier(commit, safa, p2, batch_size=2)
 
 
+def test_ivc_base_case_z0_binding(smoke):
+    """At step 0 the h_in hash check is multiplied out (is_base=1), so
+    z_in must be bound to the public z0 by dedicated constraints
+    (ivc_circuit.py AugmentedPrimary) — without them a prover could start
+    the chain from an arbitrary state.  Craft the honest step-0 primary
+    witness, then forge z0: the circuit must become unsatisfiable."""
+    from reef_tpu.backend.ivc import (RecursiveSNARK, default_relaxed,
+                                      dummy_strict)
+    from reef_tpu.backend.witness import solve_and_batch
+    safa, codes, commit, proofs = smoke
+    udoc = FW.doc_transform(safa.ab, codes)
+    tt, circuit, aug, shape, wc, ec, mc = FW.pub_setup(
+        safa, commit, 2, False, False, False, udoc)
+    salt = commit.hash_salt()
+    z0 = circuit.z0(salt, tt.table[0])
+    wits, _ = next(iter(solve_and_batch(tt, circuit, codes,
+                                        commit.doc_commit_hash(), salt)))
+    rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    inputs = dict(wits)
+    inputs.update(aug.ivc_witness(rs.pp, rs.z0, default_relaxed(),
+                                  dummy_strict(), None))
+    wires = aug.compiled.witness_packed(inputs)
+    assert aug.compiled.check_all(list(wires)) is None   # honest base case
+    forged = dict(inputs)
+    forged["ivc_z0_0"] = (forged["ivc_z0_0"] + 1) % f.p
+    wires = aug.compiled.witness_packed(forged)
+    assert aug.compiled.check_all(list(wires)) is not None
+
+
 def test_ivc_zero_steps_rejected(smoke):
     safa, codes, commit, proofs = smoke
     import copy
