@@ -984,16 +984,18 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
   // scalars are < 2^255 (reduced mod the group order by the caller) so the
   // final carry is always absorbed by the top window
   std::vector<int32_t> digits((size_t)windows * n);
+  const uint32_t mask = (uint32_t)((1u << c) - 1);
   for (int64_t i = 0; i < n; i++) {
     const uint8_t* s = scalars + i * 32;
+    uint64_t sw[4];
+    memcpy(sw, s, 32);  // LE words; per-window extraction is a 2-word shift
     uint32_t carry = 0;
     for (int w = 0; w < windows; w++) {
       int bit0 = w * c;
-      uint32_t raw = 0;
-      for (int k = 0; k < c; k++) {
-        int bit = bit0 + k;
-        if (bit < 256 && (s[bit >> 3] >> (bit & 7)) & 1) raw |= 1u << k;
-      }
+      int wi = bit0 >> 6, off = bit0 & 63;
+      uint64_t lo = sw[wi] >> off;
+      if (off && wi < 3) lo |= sw[wi + 1] << (64 - off);
+      uint32_t raw = (uint32_t)lo & mask;
       raw += carry;
       if (raw > (uint32_t)B) {
         digits[(size_t)w * n + i] = (int32_t)raw - (1 << c);
