@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <chrono>
+#include <cstdio>
 #include <vector>
 #include <cstdlib>
 
@@ -936,9 +938,16 @@ Field* scalar_field(int curve_id) {
 
 // MSM over loaded Montgomery-affine points; scalars n * 32 bytes LE
 // (standard form, already reduced mod the group order).
+static double prof_now() {
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
 void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
-              const std::vector<Aff>& pts, Pt& result_out,
-              int force_threads = 0) {
+              const Aff* pts, Pt& result_out,
+              int force_threads = 0, const Aff52* pre52 = nullptr) {
+  const bool prof = getenv("REEF_MSM_PROFILE") != nullptr;
+  double t0 = prof ? prof_now() : 0, t1 = 0, t2 = 0, t3 = 0;
   const Field& f = cv.f;
   int c;
   const char* cenv = getenv("REEF_MSM_C");
@@ -1007,27 +1016,32 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
     }
   }
 
+  if (prof) t1 = prof_now();
   // AVX-512 IFMA path: the bucket phase runs in the 5x52 Montgomery
   // domain with 8-wide batch-affine rounds (~5x the scalar mul rate);
   // points convert once per MSM, only bucket survivors convert back
 #ifdef REEF_IFMA
   const bool use52 = cpu_has_ifma() && n >= 64;
   const Field52* f52 = use52 ? field52_for(&f) : nullptr;
-  std::vector<Aff52> pts52;
-  if (use52) {
-    pts52.resize(n);
+  std::vector<Aff52> pts52_store;
+  const Aff52* pts52 = pre52;
+  if (use52 && pts52 == nullptr) {
+    pts52_store.resize(n);
     for (int64_t i = 0; i < n; i++) {
-      pts52[i].inf = pts[i].inf;
+      pts52_store[i].inf = pts[i].inf;
       if (!pts[i].inf) {
-        f52->from_mont64(pts52[i].x, f, pts[i].x);
-        f52->from_mont64(pts52[i].y, f, pts[i].y);
+        f52->from_mont64(pts52_store[i].x, f, pts[i].x);
+        f52->from_mont64(pts52_store[i].y, f, pts[i].y);
       }
     }
+    pts52 = pts52_store.data();
   }
 #else
   const bool use52 = false;
+  (void)pre52;
 #endif
 
+  if (prof) t2 = prof_now();
   // window accumulations are independent: parallelize across threads and
   // combine with the serial doubling chain afterwards (the reference gets
   // the same effect from rayon inside the nova fork's MSMs)
@@ -1135,12 +1149,19 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
     for (int w = 0; w < windows; w++) do_window(w);
   }
 
+  if (prof) t3 = prof_now();
   Pt result = cv.ident;
   for (int w = windows - 1; w >= 0; w--) {
     for (int d = 0; d < c; d++) cv.padd(result, result, result);
     cv.padd(result, result, accs[w]);
   }
   result_out = result;
+  if (prof)
+    fprintf(stderr,
+            "[msm n=%lld c=%d win=%d] recode %.1fms conv52 %.1fms "
+            "buckets %.1fms final %.1fms\n",
+            (long long)n, c, windows, (t1 - t0) * 1e3, (t2 - t1) * 1e3,
+            (t3 - t2) * 1e3, (prof_now() - t3) * 1e3);
 }
 
 void load_affine(const Field& f, const uint8_t* pp, Aff& a) {
@@ -1212,13 +1233,72 @@ void pasta_msm_idx(int curve_id, int64_t n, const uint8_t* scalars,
   for (int64_t i = 0; i < n; i++)
     load_affine(f, points + (idx ? idx[i] : i) * 65, pts[i]);
   Pt result;
-  msm_core(cv, n, scalars, pts, result);
+  msm_core(cv, n, scalars, pts.data(), result);
   store_proj(f, result, out);
 }
 
 void pasta_msm(int curve_id, int64_t n, const uint8_t* scalars,
                const uint8_t* points, uint8_t* out) {
   pasta_msm_idx(curve_id, n, scalars, points, nullptr, out);
+}
+
+// --- cached basis handles ---------------------------------------------------
+// A fixed generator set is loaded (LE bytes -> Montgomery affine) and
+// 5x52-converted ONCE; any number of (optionally indexed or prefixed) MSMs
+// then run against it.  The per-call load+convert was ~45ms of a 170ms MSM
+// at n=2^16 on the per-fold commit path.
+struct BasisCtx {
+  int curve_id;
+  int64_t n;
+  std::vector<Aff> pts;
+  std::vector<Aff52> pts52;  // empty on non-IFMA hosts
+};
+
+void* msm_basis_init(int curve_id, int64_t n, const uint8_t* packed) {
+  BasisCtx* b = new BasisCtx();
+  b->curve_id = curve_id;
+  b->n = n;
+  const Field& f = get_curve(curve_id)->f;
+  b->pts.resize(n);
+  for (int64_t i = 0; i < n; i++) load_affine(f, packed + 65 * i, b->pts[i]);
+  if (cpu_has_ifma()) {
+    const Field52* f52 = field52_for(&f);
+    b->pts52.resize(n);
+    for (int64_t i = 0; i < n; i++) {
+      b->pts52[i].inf = b->pts[i].inf;
+      if (!b->pts[i].inf) {
+        f52->from_mont64(b->pts52[i].x, f, b->pts[i].x);
+        f52->from_mont64(b->pts52[i].y, f, b->pts[i].y);
+      }
+    }
+  }
+  return b;
+}
+
+void msm_basis_free(void* h) { delete (BasisCtx*)h; }
+
+// n scalars against the first n basis points, or against idx[i] gathers.
+void pasta_msm_basis(void* h, int64_t n, const uint8_t* scalars,
+                     const int64_t* idx, uint8_t* out) {
+  BasisCtx* b = (BasisCtx*)h;
+  Curve& cv = *get_curve(b->curve_id);
+  const bool has52 = !b->pts52.empty();
+  Pt result;
+  if (idx == nullptr) {
+    msm_core(cv, n, scalars, b->pts.data(), result, 0,
+             has52 ? b->pts52.data() : nullptr);
+  } else {
+    std::vector<Aff> pts(n);
+    std::vector<Aff52> p52(has52 ? n : 0);
+    for (int64_t i = 0; i < n; i++) {
+      int64_t j = idx[i];
+      pts[i] = b->pts[j];
+      if (has52) p52[i] = b->pts52[j];
+    }
+    msm_core(cv, n, scalars, pts.data(), result, 0,
+             has52 ? p52.data() : nullptr);
+  }
+  store_proj(cv.f, result, out);
 }
 
 // Bulk point validation (the generator-cache integrity check): returns the
@@ -1293,7 +1373,7 @@ void pasta_msm_rows(int curve_id, int64_t n_rows, int64_t n_cols,
   auto worker = [&](int64_t lo_r, int64_t hi_r) {
     for (int64_t r = lo_r; r < hi_r; r++) {
       Pt acc;
-      msm_core(cv, n_cols, scalars + r * n_cols * 32, basis, acc,
+      msm_core(cv, n_cols, scalars + r * n_cols * 32, basis.data(), acc,
                /*force_threads=*/1);
       const uint8_t* bl = blinds + r * 32;
       for (int w = 0; w < HW; w++) {
@@ -1459,7 +1539,29 @@ struct IpaCtx {
   int64_t n_orig;
   std::vector<Fe> w, R, coeff;  // scalar field, Montgomery
   std::vector<Aff> basis;       // base field, Montgomery affine
+  std::vector<Aff52> basis52;   // 5x52 mirror (IFMA hosts only)
 };
+
+// keep the 5x52 mirror in sync with ctx->basis (converting the basis once
+// per (re)build instead of inside every msm_core call saved ~2x16ms per
+// cross at n=2^16)
+void ipa_refresh52(IpaCtx* ctx) {
+  if (!cpu_has_ifma()) {
+    ctx->basis52.clear();
+    return;
+  }
+  const Field& bf = get_curve(ctx->curve_id)->f;
+  const Field52* f52 = field52_for(&bf);
+  int64_t n = (int64_t)ctx->basis.size();
+  ctx->basis52.resize(n);
+  for (int64_t i = 0; i < n; i++) {
+    ctx->basis52[i].inf = ctx->basis[i].inf;
+    if (!ctx->basis[i].inf) {
+      f52->from_mont64(ctx->basis52[i].x, bf, ctx->basis[i].x);
+      f52->from_mont64(ctx->basis52[i].y, bf, ctx->basis[i].y);
+    }
+  }
+}
 
 void load_scalar_mont(const Field& sf, const uint8_t* b, Fe& o) {
   Fe t;
@@ -1475,6 +1577,8 @@ void load_scalar_mont(const Field& sf, const uint8_t* b, Fe& o) {
 // per-round O(n_orig) indexed MSMs into O(n) rounds afterwards: total IPA
 // work drops from n*log(n) to ~3n Pippenger-equivalent points.
 void ipa_materialize(IpaCtx* ctx) {
+  const bool prof = getenv("REEF_MSM_PROFILE") != nullptr;
+  double tm0 = prof ? prof_now() : 0;
   Curve& cv = *get_curve(ctx->curve_id);
   const Field& bf = cv.f;
   const Field& sf = *scalar_field(ctx->curve_id);
@@ -1732,9 +1836,14 @@ void ipa_materialize(IpaCtx* ctx) {
   }
 
   ctx->basis.swap(nb);
+  ctx->basis52.clear();  // rebuilt below from the folded basis
   ctx->n_orig = n;
   for (int64_t j = 0; j < n; j++) memcpy(ctx->coeff[j].v, sf.c.one_m, 32);
   ctx->coeff.resize(n);
+  ipa_refresh52(ctx);
+  if (prof)
+    fprintf(stderr, "[ipa_mat n=%lld no=%lld] %.1fms\n", (long long)n,
+            (long long)no, (prof_now() - tm0) * 1e3);
 }
 
 }  // namespace
@@ -1760,6 +1869,7 @@ void* ipa_init(int curve_id, int64_t n, const uint8_t* w_bytes,
   ctx->basis.resize(n);
   for (int64_t i = 0; i < n; i++)
     load_affine(bf, packed_points + 65 * i, ctx->basis[i]);
+  ipa_refresh52(ctx);
   return ctx;
 }
 
@@ -1776,7 +1886,10 @@ void ipa_cross(void* h, uint8_t* cL_out, uint8_t* cR_out, uint8_t* L_out,
     int64_t G = 8;
     const char* genv = getenv("REEF_IPA_MAT_G");
     if (genv) G = atoll(genv);
-    if (G > 1 && ctx->n >= 2 && ctx->n_orig / ctx->n >= G)
+    // below ~4k expanded points the lockstep NAF's fixed cost (~20ms)
+    // exceeds everything the collapse saves in the remaining rounds
+    if (G > 1 && ctx->n >= 2 && ctx->n_orig >= 4096 &&
+        ctx->n_orig / ctx->n >= G)
       ipa_materialize(ctx);
   }
   Curve& cv = *get_curve(ctx->curve_id);
@@ -1803,10 +1916,16 @@ void ipa_cross(void* h, uint8_t* cL_out, uint8_t* cR_out, uint8_t* L_out,
   // else to R with scalar w_hi[j mod n] * coeff[j].
   std::vector<uint8_t> sL, sR;
   std::vector<Aff> pL, pR;
+  std::vector<Aff52> pL52, pR52;
+  const bool has52 = !ctx->basis52.empty();
   sL.reserve(32 * (no / 2));
   sR.reserve(32 * (no / 2));
   pL.reserve(no / 2);
   pR.reserve(no / 2);
+  if (has52) {
+    pL52.reserve(no / 2);
+    pR52.reserve(no / 2);
+  }
   Fe sm, ss;
   for (int64_t j = 0; j < no; j++) {
     int64_t pos = j % n;
@@ -1822,12 +1941,20 @@ void ipa_cross(void* h, uint8_t* cL_out, uint8_t* cR_out, uint8_t* L_out,
     sv.resize(off + 32);
     memcpy(sv.data() + off, ss.v, 32);
     pv.push_back(ctx->basis[j]);
+    if (has52) (to_L ? pL52 : pR52).push_back(ctx->basis52[j]);
   }
   Pt L, Rp;
-  msm_core(cv, (int64_t)pL.size(), sL.data(), pL, L);
-  msm_core(cv, (int64_t)pR.size(), sR.data(), pR, Rp);
+  const bool prof = getenv("REEF_MSM_PROFILE") != nullptr;
+  double tc = prof ? prof_now() : 0;
+  msm_core(cv, (int64_t)pL.size(), sL.data(), pL.data(), L, 0,
+           pL52.empty() ? nullptr : pL52.data());
+  msm_core(cv, (int64_t)pR.size(), sR.data(), pR.data(), Rp, 0,
+           pR52.empty() ? nullptr : pR52.data());
   store_proj(cv.f, L, L_out);
   store_proj(cv.f, Rp, R_out);
+  if (prof)
+    fprintf(stderr, "[ipa_cross n=%lld no=%lld] msm %.1fms\n",
+            (long long)n, (long long)no, (prof_now() - tc) * 1e3);
 }
 
 // Fold with challenge x (32B standard):

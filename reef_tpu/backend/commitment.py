@@ -257,10 +257,19 @@ class PedersenGens:
     def __init__(self, cv: Curve, label: bytes, n: int):
         self.cv = cv
         self.n = n
+        self._label = label
         self._packed = _cached_gens_packed(cv, label, n)
         self._G = None
         self.H = shared_blinding_gen(cv)
         self._device_basis = None
+
+    def native_basis(self):
+        """Native basis handle: points loaded + IFMA-converted once per
+        (curve, label, n), shared process-wide — every per-fold commit and
+        IPA basis MSM then skips the ~45ms per-call load at 2^16."""
+        from ..ec.native_msm import basis_handle
+        return basis_handle(self.cv, (self.cv.name, self._label, self.n),
+                            self._packed)
 
     @property
     def G(self) -> List[Point]:
@@ -295,7 +304,8 @@ class PedersenGens:
         else:
             try:
                 from ..ec.native_msm import msm_packed
-                base = msm_packed(cv, values, self.packed_G())
+                base = msm_packed(cv, values, self.packed_G(),
+                                  handle=self.native_basis())
             except RuntimeError:
                 base = cv.msm(list(values), self.G[:len(values)])
         return cv.add(cv.mul(blind, self.H), base)

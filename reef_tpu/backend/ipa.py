@@ -64,7 +64,6 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
     tau = _absorb_setup(t, C_w, C_v, R_pub, cv)
 
     from ..ops.native_fieldvec import PackedVec
-    G_orig = gens.G[:n]
     H = gens.H
     if not (isinstance(w, PackedVec) and w.p == p):   # PackedVec: canonical
         w = [x % p for x in w]
@@ -131,9 +130,11 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
         try:
             from ..ec.native_msm import msm_packed
             packed = gens.packed_G()
-            mL = msm_packed(cv, sL, packed, iL)
-            mR = msm_packed(cv, sR, packed, iR)
+            h = gens.native_basis()
+            mL = msm_packed(cv, sL, packed, iL, handle=h)
+            mR = msm_packed(cv, sR, packed, iR, handle=h)
         except RuntimeError:
+            G_orig = gens.G
             mL = cv.msm(sL, [G_orig[j] for j in iL])
             mR = cv.msm(sR, [G_orig[j] for j in iR])
         L = cv.add(cv.add(mL, cv.mul(tau * cL % p, G_s)),
@@ -181,7 +182,8 @@ def ipa_verify(gens: PedersenGens, G_s: Point, R_pub: List[int],
         s = [v * m % p for v in s for m in (xi, x)]
     try:
         from ..ec.native_msm import msm_packed
-        G_final = msm_packed(cv, s, gens.packed_G())
+        G_final = msm_packed(cv, s, gens.packed_G(),
+                             handle=gens.native_basis())
     except RuntimeError:
         G_final = cv.msm(s, gens.G[:n])
     # R folds with the same x^{-1}/x pattern as G: R_final = <s, R>

@@ -41,6 +41,16 @@ def _load() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64, ctypes.c_char_p,
                                        ctypes.c_char_p, ctypes.c_char_p,
                                        ctypes.c_char_p, ctypes.c_char_p]
+        lib.msm_basis_init.restype = ctypes.c_void_p
+        lib.msm_basis_init.argtypes = [ctypes.c_int, ctypes.c_int64,
+                                       ctypes.c_char_p]
+        lib.msm_basis_free.restype = None
+        lib.msm_basis_free.argtypes = [ctypes.c_void_p]
+        lib.pasta_msm_basis.restype = None
+        lib.pasta_msm_basis.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_char_p,
+                                        ctypes.POINTER(ctypes.c_int64),
+                                        ctypes.c_char_p]
         lib.ipa_init.restype = ctypes.c_void_p
         lib.ipa_init.argtypes = [ctypes.c_int, ctypes.c_int64,
                                  ctypes.c_char_p, ctypes.c_char_p,
@@ -188,11 +198,44 @@ def _scalar_buf(curve, scalars):
     return bytes(sbuf), n
 
 
+_BASIS_CACHE: dict = {}
+_BASIS_LOCK = None
+
+
+def basis_handle(curve, key, packed) -> Optional[tuple]:
+    """Load a fixed basis into the native layer ONCE (Montgomery affine +
+    the 5x52 IFMA mirror) and reuse the handle for every subsequent MSM.
+    `key` must uniquely identify the basis content (PedersenGens keys by
+    (curve, label, n) — the packed buffer itself is a fresh slice per
+    instance).  Returns (handle, n) or None if the library is missing."""
+    global _BASIS_LOCK
+    lib = _load()
+    if lib is None:
+        return None
+    if _BASIS_LOCK is None:
+        import threading
+        _BASIS_LOCK = threading.Lock()
+    with _BASIS_LOCK:
+        ent = _BASIS_CACHE.get(key)
+        if ent is None:
+            from .pasta import PALLAS
+            n = len(packed) // 65
+            h = lib.msm_basis_init(
+                ctypes.c_int(0 if curve is PALLAS else 1),
+                ctypes.c_int64(n), bytes(packed))
+            ent = (h, n)
+            _BASIS_CACHE[key] = ent
+        return ent
+
+
 def msm_packed(curve, scalars: List[int], packed: bytes,
-               indices: Optional[List[int]] = None) -> Optional[tuple]:
+               indices: Optional[List[int]] = None,
+               handle: Optional[tuple] = None) -> Optional[tuple]:
     """MSM over a pre-packed point buffer, optionally gathering via an
     index array — avoids repacking a fixed basis on every call (the IPA
-    prover calls 2*log(n) MSMs against subsets of the same gens)."""
+    prover calls 2*log(n) MSMs against subsets of the same gens).  With
+    `handle` (from basis_handle) the basis load + IFMA conversion are
+    skipped too; `packed` is then ignored."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native msm unavailable")
@@ -205,8 +248,16 @@ def msm_packed(curve, scalars: List[int], packed: bytes,
         assert len(indices) == n
     idx = (ctypes.c_int64 * n)(*indices) if indices is not None else None
     out_buf = ctypes.create_string_buffer(96)
-    lib.pasta_msm_idx(ctypes.c_int(curve_id), ctypes.c_int64(n),
-                      sbuf, packed, idx, out_buf)
+    if handle is not None:
+        if indices is None:
+            assert n <= handle[1]
+        else:
+            assert max(indices) < handle[1]
+        lib.pasta_msm_basis(ctypes.c_void_p(handle[0]), ctypes.c_int64(n),
+                            sbuf, idx, out_buf)
+    else:
+        lib.pasta_msm_idx(ctypes.c_int(curve_id), ctypes.c_int64(n),
+                          sbuf, packed, idx, out_buf)
     X = int.from_bytes(out_buf.raw[0:32], "little")
     Y = int.from_bytes(out_buf.raw[32:64], "little")
     Z = int.from_bytes(out_buf.raw[64:96], "little")
