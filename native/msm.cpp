@@ -943,9 +943,70 @@ static double prof_now() {
       std::chrono::steady_clock::now().time_since_epoch()).count();
 }
 
+// Straus joint double-and-add with 4-bit windows: for small n the
+// Pippenger machinery (per-window vectors, counting sorts, bucket
+// combines across ~24 windows) costs ~15ms regardless of n; this path is
+// ~130us for n=1 (the cv.mul bridge) and wins up to n ~ 128.
+void msm_small(Curve& cv, int64_t n, const uint8_t* scalars,
+               const Aff* pts, Pt& result_out) {
+  const Field& f = cv.f;
+  // top set bit across all scalars (skip leading zero windows)
+  int bits = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t* s = scalars + i * 32;
+    for (int by = 31; by >= bits / 8; by--) {
+      if (s[by]) {
+        int b = by * 8 + 7;
+        while (b > 0 && !((s[by] >> (b & 7)) & 1)) b--;
+        if (b + 1 > bits) bits = b + 1;
+        break;
+      }
+    }
+  }
+  if (bits == 0) {
+    result_out = cv.ident;
+    return;
+  }
+  int windows = (bits + 3) / 4;
+  // per-point table d*P for d in 1..15 (projective; points may be inf)
+  std::vector<Pt> tab((size_t)n * 15);
+  for (int64_t i = 0; i < n; i++) {
+    Pt* t = tab.data() + (size_t)i * 15;
+    if (pts[i].inf) {
+      for (int d = 0; d < 15; d++) t[d] = cv.ident;
+      continue;
+    }
+    t[0].X = pts[i].x;
+    t[0].Y = pts[i].y;
+    memcpy(t[0].Z.v, f.c.one_m, 32);
+    for (int d = 1; d < 15; d++) cv.padd(t[d], t[d - 1], t[0]);
+  }
+  Pt acc = cv.ident;
+  for (int w = windows - 1; w >= 0; w--) {
+    if (w != windows - 1)
+      for (int d = 0; d < 4; d++) cv.padd(acc, acc, acc);
+    int bit0 = w * 4;
+    for (int64_t i = 0; i < n; i++) {
+      const uint8_t* s = scalars + i * 32;
+      uint32_t dig = (s[bit0 >> 3] >> (bit0 & 7)) & 0xf;
+      if (dig) cv.padd(acc, acc, tab[(size_t)i * 15 + dig - 1]);
+    }
+  }
+  result_out = acc;
+}
+
 void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
               const Aff* pts, Pt& result_out,
               int force_threads = 0, const Aff52* pre52 = nullptr) {
+  {
+    int64_t small = 128;
+    const char* senv = getenv("REEF_MSM_SMALL");
+    if (senv) small = atoll(senv);
+    if (n <= small) {
+      msm_small(cv, n, scalars, pts, result_out);
+      return;
+    }
+  }
   const bool prof = getenv("REEF_MSM_PROFILE") != nullptr;
   double t0 = prof ? prof_now() : 0, t1 = 0, t2 = 0, t3 = 0;
   const Field& f = cv.f;
