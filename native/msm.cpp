@@ -1276,9 +1276,258 @@ void store_proj(const Field& f, const Pt& result, uint8_t* out) {
   memcpy(out + 64, Z.v, 32);
 }
 
+// ---------------------------------------------------------------------------
+// Deterministic generator derivation (try-and-increment hash-to-curve).
+// Mirrors reef_tpu.ec.pasta.Curve.hash_to_curve exactly: for counter
+// ctr = 0,1,...  x = SHA256(prefix || idx_be8 || ctr_be4) mod p,
+// rhs = x^3 + 5; if rhs is a QR take y = min(sqrt, p - sqrt).  The python
+// loop costs ~1.2 ms/point (Tonelli-Shanks in bigint pow); deriving a 2^15
+// basis fresh was ~40 s/process on a cache miss.  Output layout is the
+// packed 65 B/point little-endian used everywhere else in this file.
+// ---------------------------------------------------------------------------
+
+// Minimal SHA-256 (FIPS 180-4), single-shot.
+struct Sha256 {
+  static inline u64 rotr(uint32_t x, int n) {
+    return (x >> n) | (x << (32 - n));
+  }
+  static void digest(const uint8_t* msg, size_t len, uint8_t out[32]) {
+    static const uint32_t K[64] = {
+        0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b,
+        0x59f111f1, 0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01,
+        0x243185be, 0x550c7dc3, 0x72be5d74, 0x80deb1fe, 0x9bdc06a7,
+        0xc19bf174, 0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc,
+        0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da, 0x983e5152,
+        0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+        0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc,
+        0x53380d13, 0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85,
+        0xa2bfe8a1, 0xa81a664b, 0xc24b8b70, 0xc76c51a3, 0xd192e819,
+        0xd6990624, 0xf40e3585, 0x106aa070, 0x19a4c116, 0x1e376c08,
+        0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f,
+        0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+        0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2};
+    uint32_t h[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                     0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+    size_t total = len;
+    size_t padded = ((len + 8) / 64 + 1) * 64;
+    std::vector<uint8_t> buf(padded, 0);
+    memcpy(buf.data(), msg, len);
+    buf[len] = 0x80;
+    u64 bits = (u64)total * 8;
+    for (int i = 0; i < 8; i++)
+      buf[padded - 1 - i] = (uint8_t)(bits >> (8 * i));
+    for (size_t off = 0; off < padded; off += 64) {
+      uint32_t w[64];
+      for (int i = 0; i < 16; i++)
+        w[i] = ((uint32_t)buf[off + 4 * i] << 24) |
+               ((uint32_t)buf[off + 4 * i + 1] << 16) |
+               ((uint32_t)buf[off + 4 * i + 2] << 8) |
+               (uint32_t)buf[off + 4 * i + 3];
+      for (int i = 16; i < 64; i++) {
+        uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18) ^
+                      (w[i - 15] >> 3);
+        uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19) ^
+                      (w[i - 2] >> 10);
+        w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+      }
+      uint32_t a = h[0], b = h[1], cc = h[2], d = h[3], e = h[4], f = h[5],
+               g = h[6], hh = h[7];
+      for (int i = 0; i < 64; i++) {
+        uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+        uint32_t ch = (e & f) ^ (~e & g);
+        uint32_t t1 = hh + S1 + ch + K[i] + w[i];
+        uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+        uint32_t maj = (a & b) ^ (a & cc) ^ (b & cc);
+        uint32_t t2 = S0 + maj;
+        hh = g; g = f; f = e; e = d + t1;
+        d = cc; cc = b; b = a; a = t1 + t2;
+      }
+      h[0] += a; h[1] += b; h[2] += cc; h[3] += d;
+      h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
+    }
+    for (int i = 0; i < 8; i++) {
+      out[4 * i] = (uint8_t)(h[i] >> 24);
+      out[4 * i + 1] = (uint8_t)(h[i] >> 16);
+      out[4 * i + 2] = (uint8_t)(h[i] >> 8);
+      out[4 * i + 3] = (uint8_t)h[i];
+    }
+  }
+};
+
+// Generic Montgomery-domain exponentiation by a 4-limb little-endian
+// exponent (256 square-and-multiply steps; ~25 us — derivation only).
+void fe_pow(const Field& f, Fe& o, const Fe& a, const u64 e[4]) {
+  Fe acc;
+  memcpy(acc.v, f.c.one_m, 32);
+  for (int bit = 255; bit >= 0; bit--) {
+    f.mul(acc, acc, acc);
+    if ((e[bit >> 6] >> (bit & 63)) & 1) f.mul(acc, acc, a);
+  }
+  o = acc;
+}
+
+// Tonelli-Shanks context for one pasta base field (2-adicity 32 for both).
+struct SqrtCtx {
+  u64 q[4];      // (p-1) >> 32  (odd part)
+  u64 half[4];   // (p-1) / 2    (Legendre exponent)
+  u64 qp1h[4];   // (q+1) / 2
+  Fe c_init;     // z^q in Montgomery form, z = least non-residue
+  bool ready = false;
+};
+
+void shr_limbs(u64 o[4], const u64 a[4], int k) {
+  // 0 < k < 64
+  for (int i = 0; i < 4; i++) {
+    o[i] = a[i] >> k;
+    if (i < 3) o[i] |= a[i + 1] << (64 - k);
+  }
+}
+
+SqrtCtx* get_sqrt_ctx(const Field& f, int curve_id) {
+  static SqrtCtx ctx[2];
+  SqrtCtx& c = ctx[curve_id & 1];
+  if (c.ready) return &c;
+  u64 pm1[4];
+  memcpy(pm1, f.c.p, 32);
+  pm1[0] -= 1;  // p odd: no borrow
+  // q = (p-1) >> 32 (2-adicity is exactly 32 for both pasta primes)
+  shr_limbs(c.q, pm1, 32);
+  shr_limbs(c.half, pm1, 1);
+  u64 qp1[4];
+  u128 carry = 1;
+  for (int i = 0; i < 4; i++) {
+    u128 s = (u128)c.q[i] + carry;
+    qp1[i] = (u64)s;
+    carry = s >> 64;
+  }
+  shr_limbs(c.qp1h, qp1, 1);
+  // least quadratic non-residue z: Legendre(z) == -1
+  Fe neg_one, one_m;
+  memcpy(one_m.v, f.c.one_m, 32);
+  f.neg(neg_one, one_m);
+  for (u64 z = 2;; z++) {
+    Fe zm = {{z, 0, 0, 0}};
+    f.to_mont(zm, zm);
+    Fe leg;
+    fe_pow(f, leg, zm, c.half);
+    if (memcmp(leg.v, neg_one.v, 32) == 0) {
+      fe_pow(f, c.c_init, zm, c.q);
+      break;
+    }
+  }
+  c.ready = true;
+  return &c;
+}
+
+// sqrt of a (Montgomery, canonical); returns false if a is a non-residue.
+bool fe_sqrt(const Field& f, const SqrtCtx& sc, Fe& out, const Fe& a) {
+  bool zero = !(a.v[0] | a.v[1] | a.v[2] | a.v[3]);
+  if (zero) {
+    memset(out.v, 0, 32);
+    return true;
+  }
+  Fe one_m;
+  memcpy(one_m.v, f.c.one_m, 32);
+  Fe leg;
+  fe_pow(f, leg, a, sc.half);
+  if (memcmp(leg.v, one_m.v, 32) != 0) return false;
+  Fe t, r, c;
+  fe_pow(f, t, a, sc.q);
+  fe_pow(f, r, a, sc.qp1h);
+  c = sc.c_init;
+  int m = 32;
+  while (memcmp(t.v, one_m.v, 32) != 0) {
+    Fe t2 = t;
+    int i = 0;
+    while (memcmp(t2.v, one_m.v, 32) != 0) {
+      f.mul(t2, t2, t2);
+      i++;
+    }
+    Fe b = c;
+    for (int j = 0; j < m - i - 1; j++) f.mul(b, b, b);
+    m = i;
+    f.mul(c, b, b);
+    f.mul(t, t, c);
+    f.mul(r, r, b);
+  }
+  out = r;
+  return true;
+}
+
+// Derive one generator: try-and-increment over SHA256(prefix||idx||ctr).
+void derive_one(const Field& f, const SqrtCtx& sc, const uint8_t* prefix,
+                int64_t prefix_len, u64 idx, uint8_t* out65) {
+  std::vector<uint8_t> msg(prefix_len + 12);
+  memcpy(msg.data(), prefix, prefix_len);
+  for (int i = 0; i < 8; i++)
+    msg[prefix_len + i] = (uint8_t)(idx >> (8 * (7 - i)));
+  for (uint32_t ctr = 0;; ctr++) {
+    for (int i = 0; i < 4; i++)
+      msg[prefix_len + 8 + i] = (uint8_t)(ctr >> (8 * (3 - i)));
+    uint8_t h[32];
+    Sha256::digest(msg.data(), msg.size(), h);
+    // big-endian digest -> limbs, reduce mod p (digest < 2^256 < 4p)
+    Fe x;
+    for (int i = 0; i < 4; i++) {
+      u64 w = 0;
+      for (int j = 0; j < 8; j++) w = (w << 8) | h[(3 - i) * 8 + j];
+      x.v[i] = w;
+    }
+    while (geq(x.v, f.c.p)) sub_nocheck(x.v, x.v, f.c.p);
+    Fe xm, rhs, five = {{5, 0, 0, 0}};
+    f.to_mont(xm, x);
+    f.to_mont(five, five);
+    f.mul(rhs, xm, xm);
+    f.mul(rhs, rhs, xm);
+    f.add(rhs, rhs, five);
+    Fe ym;
+    if (!fe_sqrt(f, sc, ym, rhs)) continue;
+    Fe y, yneg;
+    f.from_mont(y, ym);
+    f.neg(yneg, y);
+    if (geq(y.v, yneg.v) && memcmp(y.v, yneg.v, 32) != 0) y = yneg;
+    memcpy(out65, x.v, 32);
+    memcpy(out65 + 32, y.v, 32);
+    out65[64] = 0;
+    return;
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Derive `count` generators for indices [start, start+count) under the
+// python derivation prefix (cv.name || "/" || label || "/"); out is
+// count * 65 bytes packed LE.  Threaded: points are independent.
+void pasta_derive_gens(int curve_id, const uint8_t* prefix,
+                       int64_t prefix_len, int64_t start, int64_t count,
+                       uint8_t* out) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+  const SqrtCtx& sc = *get_sqrt_ctx(f, curve_id);
+  int n_threads = (int)std::thread::hardware_concurrency();
+  const char* tenv = getenv("REEF_MSM_THREADS");
+  if (tenv) n_threads = atoi(tenv);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > count) n_threads = (int)count;
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++)
+      derive_one(f, sc, prefix, prefix_len, (u64)(start + i),
+                 out + 65 * i);
+  };
+  if (n_threads <= 1 || count < 64) {
+    work(0, count);
+  } else {
+    std::vector<std::thread> threads;
+    int64_t chunk = (count + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * chunk, hi = std::min<int64_t>(count, lo + chunk);
+      if (lo < hi) threads.emplace_back(work, lo, hi);
+    }
+    for (auto& th : threads) th.join();
+  }
+}
 
 // scalars: n * 32 bytes LE; points: n * 65 bytes (32 x, 32 y, 1 inf flag);
 // out is 96 bytes projective (X,Y,Z canonical non-Montgomery); python

@@ -200,12 +200,25 @@ def _cached_gens_packed(cv: Curve, label: bytes, n: int) -> bytes:
 
     if len(packed) < 65 * n:
         have = len(packed) // 65
-        tail = bytearray()
-        for i in range(have, n):
-            x, y = cv.hash_to_curve(label + b"/" + i.to_bytes(8, "big"))
-            tail += x.to_bytes(32, "little") + y.to_bytes(32, "little") \
-                + b"\x00"
-        packed = packed + bytes(tail)
+        from ..ec.native_msm import derive_gens_packed
+        tail = derive_gens_packed(cv, label, have, n - have)
+        if tail is not None:
+            # pin the native derivation to the python oracle at the ends
+            for i in (have, n - 1):
+                expect = cv.hash_to_curve(label + b"/"
+                                          + i.to_bytes(8, "big"))
+                if _pt_at(tail, i - have) != expect:
+                    tail = None
+                    break
+        if tail is None:                   # no native lib: python fallback
+            buf = bytearray()
+            for i in range(have, n):
+                x, y = cv.hash_to_curve(label + b"/"
+                                        + i.to_bytes(8, "big"))
+                buf += x.to_bytes(32, "little") \
+                    + y.to_bytes(32, "little") + b"\x00"
+            tail = bytes(buf)
+        packed = packed + tail
         dirty = True
     if dirty:
         try:

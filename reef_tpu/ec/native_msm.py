@@ -65,6 +65,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.ipa_final.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.ipa_free.restype = None
         lib.ipa_free.argtypes = [ctypes.c_void_p]
+        lib.pasta_derive_gens.restype = None
+        lib.pasta_derive_gens.argtypes = [ctypes.c_int, ctypes.c_char_p,
+                                          ctypes.c_int64, ctypes.c_int64,
+                                          ctypes.c_int64, ctypes.c_char_p]
         _LIB = lib
     except Exception:
         _BUILD_FAILED = True
@@ -155,6 +159,27 @@ def _unpack_points(buf, n):
             y = int.from_bytes(bytes(buf[65 * i + 32:65 * i + 64]), "little")
             out.append((x, y))
     return out
+
+
+def derive_gens_packed(curve, label: bytes, start: int,
+                       count: int) -> Optional[bytes]:
+    """Native bulk hash-to-curve generator derivation (bit-identical to
+    Curve.hash_to_curve / Curve.gens, pasta.py:159-177): returns `count`
+    points for indices [start, start+count) in the packed 65 B/point LE
+    layout, or None when the native library is unavailable.  Threaded in
+    C; ~1000x the python Tonelli-Shanks loop (a 2^15-point cache miss was
+    ~40 s/process)."""
+    lib = _load()
+    if lib is None or count <= 0:
+        return None
+    from .pasta import PALLAS
+    prefix = curve.name.encode() + b"/" + label + b"/"
+    out = ctypes.create_string_buffer(65 * count)
+    lib.pasta_derive_gens(ctypes.c_int(0 if curve is PALLAS else 1),
+                          prefix, ctypes.c_int64(len(prefix)),
+                          ctypes.c_int64(start), ctypes.c_int64(count),
+                          out)
+    return out.raw
 
 
 def fold_points_native(curve, xi: int, x: int, lo, hi):

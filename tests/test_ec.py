@@ -48,6 +48,19 @@ class TestHostCurve:
         for pt in [cv.gen, cv.mul(12345, cv.gen), None]:
             assert cv.decompress(cv.compress(pt)) == pt
 
+    def test_native_gens_match_python(self, cv):
+        """pasta_derive_gens (C SHA256 + Tonelli-Shanks) must be
+        bit-identical to Curve.gens, including offset slices."""
+        from reef_tpu.ec.native_msm import derive_gens_packed, \
+            _unpack_points
+        buf = derive_gens_packed(cv, b"reef/native-gens-test", 0, 64)
+        if buf is None:
+            pytest.skip("native msm library unavailable")
+        pts = _unpack_points(buf, 64)
+        assert pts == cv.gens(b"reef/native-gens-test", 64)
+        tail = derive_gens_packed(cv, b"reef/native-gens-test", 61, 3)
+        assert _unpack_points(tail, 3) == pts[61:64]
+
 
 def test_device_padd_matches_host():
     ck = M.pallas_kernels()
