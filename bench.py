@@ -355,8 +355,14 @@ def main():
         stale.append(f"{key} ({err})")
         return cache.get(key, 0)
 
-    device_ok = _run_sandboxed("bench._device_probe_impl()", 90)[0] \
-        is not None
+    # cold plugin registration alone is ~40s through the tunnel; under
+    # tenant contention the first round trip can exceed 90s while the
+    # tunnel is perfectly healthy — give the probe a real budget + 1 retry
+    device_ok = False
+    for _ in range(2):
+        if _run_sandboxed("bench._device_probe_impl()", 240)[0] is not None:
+            device_ok = True
+            break
     if device_ok:
         # device benches in a KILLABLE subprocess too: the tunnel can wedge
         # mid-compile, and a wedged call never returns to the bytecode loop
