@@ -71,6 +71,10 @@ def run_one(name, size, batch, metrics, extra_flags=()):
             fh.write(doc)
         env = dict(os.environ)
         env["PYTHONPATH"] = ROOT
+        # host-only CLI: skip this container's per-process TPU plugin
+        # registration (~2.2s `import jax` via sitecustomize; bench.py
+        # _host_cli_env has the full rationale)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         cmd = [sys.executable, "-m", "reef_tpu.cli", spec["alphabet"],
                "--e2e", "-d", doc_path, "-r", regex, "-b", str(batch)]
         cmd += list(spec["flags"]) + list(extra_flags)
