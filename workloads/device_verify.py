@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Real-TPU device-offload revalidation (BENCHMARKS.md bottleneck #5).
+
+Drives the three production device paths on the real chip and cross-checks
+each against the python-int host oracle (exact equality — field math):
+
+  1. chunked device Pippenger MSM (`ec/msm_pippenger.msm_device`) at a size
+     ABOVE the per-kernel chunk cap, vs the host `Curve.mul/add` oracle;
+  2. device nlookup sumcheck (`ops/sumcheck_device.DeviceTableCache` via
+     `backend.sumcheck.nlookup_prove`) at the rate-8 sponge shapes, vs the
+     host prover's transcript (bit-identical coefficients + final claim);
+  3. a full CLI-equivalent e2e prove with REEF_DEVICE_SUMCHECK=1 +
+     REEF_DEVICE_MSM=1, verified by the (host) verifier.
+
+Exits non-zero on any mismatch.  Run: `python workloads/device_verify.py`.
+"""
+
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def check_platform():
+    import jax
+    plat = jax.devices()[0].platform
+    log(f"platform: {plat} ({jax.devices()[0]})")
+    return plat
+
+
+def verify_device_msm(n=12288, chunk=4096):
+    """Chunked device MSM above the chunk cap, bit-exact vs host oracle."""
+    os.environ["REEF_DEVICE_MSM_CHUNK"] = str(chunk)
+    from reef_tpu.ec import msm as M
+    from reef_tpu.ec import msm_pippenger as MP
+    from reef_tpu.ec.pasta import VESTA
+
+    rng = random.Random(7)
+    base = [VESTA.mul(rng.randrange(1, 1 << 64), VESTA.gen)
+            for _ in range(256)]
+    pts = (base * (n // len(base) + 1))[:n]
+    scalars = [rng.randrange(VESTA.order) for _ in range(n)]
+    ck = M.vesta_kernels()
+    t0 = time.time()
+    got = MP.msm_device(ck, scalars, pts)
+    dt = time.time() - t0
+    # host oracle: the native C++ Pippenger (an independent implementation;
+    # itself cross-checked vs python-int adds in tests/test_ec.py)
+    want = VESTA.msm(scalars, pts)
+    assert got == want, f"device MSM mismatch: {got} != {want}"
+    log(f"PASS device chunked MSM n={n} chunk={chunk} ({dt:.1f}s incl. "
+        "upload/compile)")
+
+
+def verify_device_sumcheck(ell=12):
+    """Device nlookup sumcheck transcript == host transcript, rate-8 shape."""
+    from reef_tpu.backend import sumcheck as SC
+    from reef_tpu.ops import field as F
+    from reef_tpu.ops.limb import FQ as LFQ
+    from reef_tpu.ops.sumcheck_device import DeviceTableCache
+
+    f = F.FQ
+    rng = random.Random(9)
+    table = [rng.randrange(f.p) for _ in range(1 << ell)]
+    qs = [rng.randrange(len(table)) for _ in range(8)]
+    vs = [table[q] for q in qs]
+    prev_q = [rng.randrange(f.p) for _ in range(ell)]
+    prev_v = SC.verifier_mle_eval(f, table, prev_q)
+    host = SC.nlookup_prove(f, table, qs, vs, prev_q, prev_v, "nl")
+    t0 = time.time()
+    cache = DeviceTableCache(LFQ, table)
+    dev = SC.nlookup_prove(f, table, qs, vs, prev_q, prev_v, "nl",
+                           device_cache=cache)
+    dt = time.time() - t0
+    assert host == dev, "device sumcheck transcript != host transcript"
+    log(f"PASS device nlookup sumcheck ell={ell} bit-identical transcript "
+        f"({dt:.1f}s incl. compile)")
+
+
+def verify_e2e_offload():
+    """Full prove/verify with both offloads forced on."""
+    os.environ["REEF_DEVICE_SUMCHECK"] = "1"
+    os.environ["REEF_DEVICE_MSM"] = "1"
+    from reef_tpu.backend import framework as FW
+    from reef_tpu.frontend import parser, regex as R
+    from reef_tpu.frontend.safa import SAFA
+
+    r = R.simpl(parser.parse(".*b"))
+    safa = SAFA("ab", r)
+    codes = [ord(c) for c in "aaaaaaab"]
+    t0 = time.time()
+    commit, dc = FW.run_committer(codes, safa.ab, False, seed=3)
+    proofs = FW.run_prover(commit, dc, safa, codes, batch_size=0)
+    ok = FW.run_verifier(commit, safa, proofs, batch_size=0)
+    assert ok, "e2e with device offload failed verification"
+    log(f"PASS e2e prove+verify with REEF_DEVICE_SUMCHECK=1 REEF_DEVICE_MSM=1 "
+        f"({time.time() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    plat = check_platform()
+    verify_device_sumcheck()
+    verify_device_msm()
+    verify_e2e_offload()
+    log(f"ALL PASS (platform={plat})")
