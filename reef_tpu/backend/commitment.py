@@ -253,17 +253,51 @@ def shared_blinding_gen(cv: Curve = PALLAS) -> Point:
     return _BLIND_H[cv.name]
 
 
-def _device_msm_on() -> bool:
-    """Opt-in device (TPU) MSM for Pedersen commits, mirroring the
-    REEF_DEVICE_SUMCHECK gate: through the tunneled axon platform the
-    per-call index-array upload (~3 MB/s) exceeds the native host MSM's
-    whole runtime, so this stays off by default; on a locally-attached
-    TPU set REEF_DEVICE_MSM=1 (see BENCHMARKS.md for both numbers)."""
+def _device_msm_mode() -> str:
+    """REEF_DEVICE_MSM gate for Pedersen commits, mirroring the
+    REEF_DEVICE_SUMCHECK gate: "0" = host only, "1" = force device,
+    "auto" = engage on multi-device platforms (where the sharded MSM
+    parallelizes across the mesh) and on real-TPU platforms for
+    fold-shaped sizes.  Through the tunneled single-chip axon platform the
+    per-call scalar upload (~3 MB/s) exceeds the native host MSM's whole
+    runtime, so a *tunneled* chip stays host-routed under "auto"; on a
+    locally-attached TPU set REEF_DEVICE_MSM=1 (see BENCHMARKS.md)."""
     import os
-    return os.environ.get("REEF_DEVICE_MSM", "0") == "1"
+    return os.environ.get("REEF_DEVICE_MSM", "auto")
+
+
+def _device_msm_on(n: Optional[int] = None) -> bool:
+    mode = _device_msm_mode()
+    if mode == "1":
+        return True
+    if mode != "auto":
+        return False
+    # auto: engage on real accelerator platforms with >1 devices (the
+    # sharded MSM splits the bucket work across the mesh; witness.py:281
+    # uses the same platform gate for the sharded sumcheck).  Virtual CPU
+    # "devices" (the test mesh) are one host — no win, so auto stays off
+    # there; tests/dryruns force with REEF_DEVICE_MSM=1.
+    try:
+        import jax
+        devs = jax.devices()
+        return (devs[0].platform != "cpu" and len(devs) > 1
+                and (n is None or n >= DEVICE_MSM_MIN_N))
+    except Exception:
+        return False
 
 
 DEVICE_MSM_MIN_N = 256          # below this the host MSM always wins
+
+_COMMIT_MESH = None
+
+
+def _commit_mesh():
+    """Process-wide mesh for the sharded commit MSMs (all devices)."""
+    global _COMMIT_MESH
+    if _COMMIT_MESH is None:
+        from ..parallel.mesh import make_mesh
+        _COMMIT_MESH = make_mesh()
+    return _COMMIT_MESH
 
 
 class PedersenGens:
@@ -275,6 +309,7 @@ class PedersenGens:
         self._G = None
         self.H = shared_blinding_gen(cv)
         self._device_basis = None
+        self._sharded_basis = None
 
     def native_basis(self):
         """Native basis handle: points loaded + IFMA-converted once per
@@ -308,12 +343,37 @@ class PedersenGens:
             self._device_basis = DeviceBasis(ck, self.G)
         return self._device_basis
 
+    def sharded_G(self, mesh=None):
+        """Mesh-sharded resident basis for the multi-device MSM (cached
+        per gens set; the SURVEY §5 distributed mapping of the per-fold
+        commit MSMs, framework.rs:668 / commitment.rs:182-187)."""
+        if mesh is None:
+            mesh = _commit_mesh()
+        cached = getattr(self, "_sharded_basis", None)
+        if cached is None or cached.mesh is not mesh:
+            from ..ec.msm import pallas_kernels, vesta_kernels
+            from ..parallel.mesh import ShardedBasis
+            ck = (pallas_kernels() if self.cv.name == "pallas"
+                  else vesta_kernels())
+            self._sharded_basis = ShardedBasis(ck, self.G, mesh)
+        return self._sharded_basis
+
+    def _msm_device_route(self, values: List[int]) -> Point:
+        """Device MSM: sharded across the mesh on >1-device platforms,
+        single-chip chunked Pippenger otherwise."""
+        import jax
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import sharded_msm
+            basis = self.sharded_G()
+            return sharded_msm(basis.mesh, basis.ck, list(values), basis)
+        basis = self.device_G()
+        from ..ec.msm_pippenger import msm_device
+        return msm_device(basis.ck, list(values), basis)
+
     def commit(self, values: List[int], blind: int) -> Point:
         cv = self.cv
-        if _device_msm_on() and len(values) >= DEVICE_MSM_MIN_N:
-            basis = self.device_G()
-            from ..ec.msm_pippenger import msm_device
-            base = msm_device(basis.ck, list(values), basis)
+        if len(values) >= DEVICE_MSM_MIN_N and _device_msm_on(len(values)):
+            base = self._msm_device_route(values)
         else:
             try:
                 from ..ec.native_msm import msm_packed

@@ -1,9 +1,10 @@
 """Prover/verifier orchestration: commit -> prove -> verify.
 
 The reference's framework.rs pipelines a solver thread against Nova folding
-(framework.rs:81-166); here the host witness stream feeds the folding prover
-directly (the host-solve / device-fold overlap returns when folding moves to
-the device MSM path).  Protocol:
+(framework.rs:81-166); here a solver thread streams witness batches through
+a bounded queue into a fold worker (run_prover below) — witness generation
+overlaps the IVC step's commits, which run in the native MSM (GIL released)
+or on the device when REEF_DEVICE_MSM engages.  Protocol:
 
   commit:  Hyrax doc commitment (or Poseidon Merkle tree), public part +
            a prover secret seed for blinds (the reference serializes the

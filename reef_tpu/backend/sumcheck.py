@@ -202,6 +202,14 @@ class NlookupProof:
         for k in self.__slots__:
             setattr(self, k, kw[k])
 
+    def __eq__(self, other):
+        if not isinstance(other, NlookupProof):
+            return NotImplemented
+        return all(getattr(self, k) == getattr(other, k)
+                   for k in self.__slots__)
+
+    __hash__ = None
+
 
 def nlookup_prove(f: F.HostField, table: List[int], qs: List[int],
                   vs: List[int], running_q: Optional[List[int]],

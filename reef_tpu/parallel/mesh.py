@@ -60,6 +60,37 @@ def sharded_table_cache(lf, table, mesh: Mesh, axis: str = "data"):
 # production path 2: mesh-sharded Pippenger MSM
 # ---------------------------------------------------------------------------
 
+class ShardedBasis:
+    """Fixed MSM basis resident on the mesh, points sharded over `axis`.
+
+    The production Pedersen/Hyrax commits reuse ONE basis for the whole
+    run (mirrors ec.msm_pippenger.DeviceBasis for the single-chip path):
+    upload + shard once, then each sharded_msm call moves only the O(n)
+    int32 index arrays."""
+
+    def __init__(self, ck, points, mesh: Mesh, axis: str = "data"):
+        self.ck = ck
+        self.mesh = mesh
+        self.axis = axis
+        if isinstance(points, list):
+            points = ck.to_proj(points)
+        points = np.asarray(points)
+        n = points.shape[0]
+        ndev = mesh.devices.size
+        n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)
+                                - 1).bit_length())
+        n_pad = n_local * ndev
+        if n_pad != n:
+            pad = np.broadcast_to(np.asarray(ck.ident),
+                                  (n_pad - n, 3, limb.N))
+            points = np.concatenate([points, pad])
+        self.n = n
+        self.n_local = n_local
+        self.n_pad = n_pad
+        self.arr = jax.device_put(
+            jnp.asarray(points), NamedSharding(mesh, P(axis, None, None)))
+
+
 def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
     """MSM with points sharded across the mesh: each device runs the
     bounded-graph window kernel (ec.msm_pippenger) on its shard — the
@@ -67,23 +98,36 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
     per-device window accumulators A_w^dev simply ADD across the mesh:
     all_gather + log(ndev) batched point-adds, then the host combines the
     ~32 window points.  This replaces the round-1 sequential fori_loop
-    point reduce (VERDICT r1 weak #8) with real bucketed partial MSMs."""
+    point reduce (VERDICT r1 weak #8) with real bucketed partial MSMs.
+
+    `points` may be a host list/array (uploaded + sharded per call) or a
+    ShardedBasis (resident; the production commit path)."""
     import jax.numpy as jnp
-    from ..ec.msm_pippenger import (combine_windows, window_kernel_fn,
-                                    window_prep)
+    from ..ec.msm_pippenger import combine_windows, window_prep
     from ..ops import limb as _limb
 
     ndev = mesh.devices.size
     n = len(scalars)
-    n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev) - 1).bit_length())
-    n_pad = n_local * ndev
-    if isinstance(points, list):
-        points = ck.to_proj(points)
-    points = np.asarray(points)
-    if n_pad != n:
-        pad = np.broadcast_to(np.asarray(ck.ident), (n_pad - n, 3, _limb.N))
-        points = np.concatenate([points, pad])
+    if isinstance(points, ShardedBasis):
+        assert points.mesh is mesh and n <= points.n_pad
+        n_local = points.n_local
+        n_pad = points.n_pad
         scalars = list(scalars) + [0] * (n_pad - n)
+        points_dev = points.arr
+    else:
+        n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)
+                                - 1).bit_length())
+        n_pad = n_local * ndev
+        if isinstance(points, list):
+            points = ck.to_proj(points)
+        points = np.asarray(points)
+        if n_pad != n:
+            pad = np.broadcast_to(np.asarray(ck.ident),
+                                  (n_pad - n, 3, _limb.N))
+            points = np.concatenate([points, pad])
+            scalars = list(scalars) + [0] * (n_pad - n)
+        points_dev = jax.device_put(
+            jnp.asarray(points), NamedSharding(mesh, P(axis, None, None)))
 
     # per-shard host prep (independent digit sorts per device shard)
     from ..ec.msm_pippenger import N_WINDOWS
@@ -99,10 +143,22 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
     bnd_idx = np.stack(bnds)
     bnd_mask = np.stack(masks)
 
+    fn = _sharded_msm_jit(mesh, ck, axis, n_local)
+    accs = np.asarray(fn(points_dev, jnp.asarray(orders),
+                         jnp.asarray(bnd_idx), jnp.asarray(bnd_mask),
+                         jnp.asarray(np.asarray(ck.ident))))
+    return combine_windows(ck, accs)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_msm_jit(mesh: Mesh, ck, axis: str, n_local: int):
+    """Cached jitted SPMD window-accumulation (one compile per (mesh, ck,
+    n_local) — the commit path calls this once per fold)."""
+    from ..ec.msm import padd
+    from ..ec.msm_pippenger import window_kernel_fn
+
     levels = max(1, (n_local - 1).bit_length())
     local_kernel = window_kernel_fn(ck, n_local, levels)
-
-    from ..ec.msm import padd
 
     def local_fn(pts, order, bidx, bmask, ident):
         accs = local_kernel(pts, order[0], bidx[0], bmask[0], ident)
@@ -114,15 +170,11 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
             m = half
         return parts[0]
 
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=P(),
         check_vma=False))
-    accs = np.asarray(fn(jnp.asarray(points), jnp.asarray(orders),
-                         jnp.asarray(bnd_idx), jnp.asarray(bnd_mask),
-                         jnp.asarray(np.asarray(ck.ident))))
-    return combine_windows(ck, accs)
 
 
 def _allreduce_mod(lf, partial, axis):

@@ -20,7 +20,7 @@ import random
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def log(*a):
@@ -36,26 +36,34 @@ def check_platform():
 
 def verify_device_msm(n=12288, chunk=4096):
     """Chunked device MSM above the chunk cap, bit-exact vs host oracle."""
+    prev_chunk = os.environ.get("REEF_DEVICE_MSM_CHUNK")
     os.environ["REEF_DEVICE_MSM_CHUNK"] = str(chunk)
-    from reef_tpu.ec import msm as M
-    from reef_tpu.ec import msm_pippenger as MP
-    from reef_tpu.ec.pasta import VESTA
+    try:
+        from reef_tpu.ec import msm as M
+        from reef_tpu.ec import msm_pippenger as MP
+        from reef_tpu.ec.pasta import VESTA
 
-    rng = random.Random(7)
-    base = [VESTA.mul(rng.randrange(1, 1 << 64), VESTA.gen)
-            for _ in range(256)]
-    pts = (base * (n // len(base) + 1))[:n]
-    scalars = [rng.randrange(VESTA.order) for _ in range(n)]
-    ck = M.vesta_kernels()
-    t0 = time.time()
-    got = MP.msm_device(ck, scalars, pts)
-    dt = time.time() - t0
-    # host oracle: the native C++ Pippenger (an independent implementation;
-    # itself cross-checked vs python-int adds in tests/test_ec.py)
-    want = VESTA.msm(scalars, pts)
-    assert got == want, f"device MSM mismatch: {got} != {want}"
-    log(f"PASS device chunked MSM n={n} chunk={chunk} ({dt:.1f}s incl. "
-        "upload/compile)")
+        rng = random.Random(7)
+        base = [VESTA.mul(rng.randrange(1, 1 << 64), VESTA.gen)
+                for _ in range(256)]
+        pts = (base * (n // len(base) + 1))[:n]
+        scalars = [rng.randrange(VESTA.order) for _ in range(n)]
+        ck = M.vesta_kernels()
+        t0 = time.time()
+        got = MP.msm_device(ck, scalars, pts)
+        dt = time.time() - t0
+        # host oracle: the native C++ Pippenger (an independent
+        # implementation; itself cross-checked vs python-int adds in
+        # tests/test_ec.py)
+        want = VESTA.msm(scalars, pts)
+        assert got == want, f"device MSM mismatch: {got} != {want}"
+        log(f"PASS device chunked MSM n={n} chunk={chunk} ({dt:.1f}s incl. "
+            "upload/compile)")
+    finally:
+        if prev_chunk is None:
+            os.environ.pop("REEF_DEVICE_MSM_CHUNK", None)
+        else:
+            os.environ["REEF_DEVICE_MSM_CHUNK"] = prev_chunk
 
 
 def verify_device_sumcheck(ell=12):

@@ -60,7 +60,48 @@ WORKLOADS = {
 }
 
 
-def run_one(name, size, batch, metrics, extra_flags=()):
+def _host_env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ROOT
+    # host-only CLI: skip this container's per-process TPU plugin
+    # registration (~2.2s `import jax` via sitecustomize; bench.py
+    # _host_cli_env has the full rationale)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return env
+
+
+class ServeWorker:
+    """One long-lived `reef_tpu.cli serve` proving worker (JSON lines).
+
+    The deployment shape for a proving service: one process amortizes the
+    interpreter+jax import, generator caches, Poseidon templates and the
+    circuit-stack cache across every proof (VERDICT r2 #4)."""
+
+    def __init__(self):
+        import json
+        self._json = json
+        self.proc = subprocess.Popen(
+            [sys.executable, "-m", "reef_tpu.cli", "serve"],
+            env=_host_env(), cwd=ROOT, text=True,
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL)
+        ready = self.proc.stdout.readline()
+        assert self._json.loads(ready).get("ready"), ready
+
+    def request(self, argv):
+        self.proc.stdin.write(self._json.dumps({"argv": argv}) + "\n")
+        self.proc.stdin.flush()
+        return self._json.loads(self.proc.stdout.readline())
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.wait(timeout=10)
+        except Exception:
+            self.proc.kill()
+
+
+def run_one(name, size, batch, metrics, extra_flags=(), worker=None):
     spec = WORKLOADS[name]
     rng = random.Random(42)
     doc = spec["doc"](size, rng)
@@ -69,25 +110,30 @@ def run_one(name, size, batch, metrics, extra_flags=()):
         doc_path = os.path.join(d, f"{name}.txt")
         with open(doc_path, "w") as fh:
             fh.write(doc)
-        env = dict(os.environ)
-        env["PYTHONPATH"] = ROOT
-        # host-only CLI: skip this container's per-process TPU plugin
-        # registration (~2.2s `import jax` via sitecustomize; bench.py
-        # _host_cli_env has the full rationale)
-        env.pop("PALLAS_AXON_POOL_IPS", None)
-        cmd = [sys.executable, "-m", "reef_tpu.cli", spec["alphabet"],
-               "--e2e", "-d", doc_path, "-r", regex, "-b", str(batch)]
-        cmd += list(spec["flags"]) + list(extra_flags)
+        argv = [spec["alphabet"], "--e2e", "-d", doc_path, "-r", regex,
+                "-b", str(batch)]
+        argv += list(spec["flags"]) + list(extra_flags)
         if metrics:
-            cmd += ["--metrics", metrics]
+            argv += ["--metrics", metrics]
         t0 = time.time()
-        r = subprocess.run(cmd, cwd=d, env=env, capture_output=True,
-                           text=True)
-        dt = time.time() - t0
-        ok = "Verification PASSED" in r.stdout
+        if worker is not None:
+            # the worker's cwd is the repo root: pin the artifacts into
+            # this run's temp dir explicitly
+            argv += ["--cmt-name", os.path.join(d, f"{name}.cmt"),
+                     "--proof-name", os.path.join(d, f"{name}.proof")]
+            resp = worker.request(argv)
+            dt = time.time() - t0
+            ok = resp.get("ok") and "Verification PASSED" in resp["output"]
+            err = resp.get("error", "") + resp.get("output", "")[-2000:]
+        else:
+            cmd = [sys.executable, "-m", "reef_tpu.cli"] + argv
+            r = subprocess.run(cmd, cwd=d, env=_host_env(),
+                               capture_output=True, text=True)
+            dt = time.time() - t0
+            ok = "Verification PASSED" in r.stdout
+            err = f"{r.stdout}\n{r.stderr[-2000:]}"
         print(f"{name:12s} doc={len(doc):>8}B  {dt:6.1f}s  "
-              f"{'PASS' if ok else 'FAIL'}"
-              + ("" if ok else f"\n{r.stdout}\n{r.stderr[-2000:]}"))
+              f"{'PASS' if ok else 'FAIL'}" + ("" if ok else f"\n{err}"))
         return ok, dt, len(doc)
 
 
@@ -97,12 +143,21 @@ def main():
     ap.add_argument("--size", type=int, default=1000)
     ap.add_argument("-b", "--batch", type=int, default=0)
     ap.add_argument("--metrics", default=None)
+    ap.add_argument("--serve", action="store_true",
+                    help="route all runs through ONE long-lived serve-mode "
+                         "worker (warm path; amortizes per-process costs)")
     args = ap.parse_args()
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
+    worker = ServeWorker() if args.serve else None
     fails = 0
-    for n in names:
-        ok, _, _ = run_one(n, args.size, args.batch, args.metrics)
-        fails += not ok
+    try:
+        for n in names:
+            ok, _, _ = run_one(n, args.size, args.batch, args.metrics,
+                               worker=worker)
+            fails += not ok
+    finally:
+        if worker is not None:
+            worker.close()
     sys.exit(1 if fails else 0)
 
 
