@@ -63,22 +63,23 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
     return batch / best
 
 
-def bench_msm_device(n=1 << 12, iters=3, kernel_only=True):
-    """Device Pippenger MSM pts/s over a resident DeviceBasis (the
-    production shape: fixed Pedersen/IPA basis, fresh scalars per fold).
+def bench_msm_device(n=1 << 16, iters=5, kernel_only=True, cap=16384):
+    """Device Pippenger MSM pts/s at the FOLD SHAPE (n=2^16) over a
+    resident v3 basis (ec.msm_v3: fused-padd chunk-scanned kernel with
+    on-device digit/sort/Fenwick prep — the production REEF_DEVICE_MSM
+    route).
 
-    kernel_only=True times the jitted window kernel on device-resident
-    inputs (iters chained async dispatches, one small d2h sync) — the
-    number that matters for a production deployment where host<->device
-    moves at PCIe/DMA rates.  kernel_only=False times the full
-    msm_device() call including the host digit prep and the tunneled
-    index-array upload (the axon tunnel moves ~3 MB/s, so this is
-    tunnel-bound, not kernel-bound; see BENCHMARKS.md)."""
+    kernel_only=True times the jitted kernel on device-resident inputs
+    (iters chained async dispatches, one scalar d2h sync) — the number
+    that matters for a production deployment where host<->device moves at
+    PCIe/DMA rates.  kernel_only=False times the full msm_device_v3()
+    call including scalar-byte prep, upload, the tunnel launch+sync
+    roundtrip (~0.2-0.7s here) and the host window combine."""
     import random
     import jax.numpy as jnp
     import numpy as np
     from reef_tpu.ec import msm as M
-    from reef_tpu.ec import msm_pippenger as MP
+    from reef_tpu.ec import msm_v3 as V3
     from reef_tpu.ec.pasta import VESTA
 
     RNG = random.Random(5)
@@ -86,30 +87,30 @@ def bench_msm_device(n=1 << 12, iters=3, kernel_only=True):
     pts = [VESTA.mul(RNG.randrange(1, 1 << 64), VESTA.gen)
            for _ in range(min(n, 256))]
     pts = (pts * (n // len(pts) + 1))[:n]
-    basis = MP.DeviceBasis(ck, pts)
+    basis = V3.DeviceBasisV3(ck, pts, cap=cap)
     scalars = [RNG.randrange(VESTA.order) for _ in range(n)]
-    MP.msm_device(ck, scalars, basis)          # warm: upload + compile
+    got = V3.msm_device_v3(ck, scalars, basis)   # warm: upload + compile
+    # LIVE bit-exactness gate: a perf number for a wrong kernel is void
+    assert got == VESTA.msm(scalars, pts), "device MSM != host oracle"
     if kernel_only:
-        import jax
-        order, lv_idx, lv_mask = MP.window_prep_v2(
-            scalars, ck.curve.order, basis.n2)
-        kern = MP._window_kernel_v2(ck, basis.n2)
-        args = [jax.device_put(jnp.asarray(a))
-                for a in (order, lv_idx, lv_mask)]
-        ident = jax.device_put(jnp.asarray(np.asarray(ck.ident)))
-        _sync(kern(basis.arr, *args, ident))   # warm this exact shape
+        scb = np.zeros((basis.n2, 32), np.uint8)
+        scb[:n] = V3.scalars_to_bytes(scalars, ck.curve.order)
+        kern = V3._kernel_jit(ck, basis.cap, basis.n_chunks,
+                              V3._use_fused())
+        scb_d = jnp.asarray(scb.reshape(basis.n_chunks, basis.cap, 32))
+        out = kern(basis.arr, scb_d, basis.ident_soa)
+        _sync(out[0, 0, 0])
         t0 = time.time()
-        out = None
         for _ in range(iters):
-            out = kern(basis.arr, *args, ident)
-        _sync(out)                             # one (W,3,N) d2h sync
+            out = kern(basis.arr, scb_d, basis.ident_soa)
+        _sync(out[0, 0, 0])                    # one scalar d2h sync
         dt = (time.time() - t0) / iters
         return n / dt
     best = None
     for _ in range(iters):
         scalars = [RNG.randrange(VESTA.order) for _ in range(n)]
         t0 = time.time()
-        MP.msm_device(ck, scalars, basis)
+        V3.msm_device_v3(ck, scalars, basis)
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
     return n / best
@@ -201,6 +202,65 @@ def bench_e2e_prover(doc_kb=1):
              "-d", doc, "-r", "hello.*", "-b", "0"],
             cwd=d, env=env, check=True, capture_output=True)
         return (time.time() - t0) / doc_kb
+
+
+def bench_e2e_warm(doc_kb=1, iters=2):
+    """WARM end-to-end prove seconds at 1KB: all requests through ONE
+    long-lived serve-mode worker (the deployment shape for a proving
+    service) — measures the framework with the per-process fixed costs
+    (interpreter+imports, gens caches, circuit stack) amortized away.
+    First request warms the worker; returns the best subsequent one."""
+    import json as _json
+    import subprocess
+    import tempfile
+
+    env = _host_cli_env()
+    root = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "reef_tpu.cli", "serve"],
+        env=env, cwd=root, text=True,
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL)
+    try:
+        assert _json.loads(proc.stdout.readline()).get("ready")
+        with tempfile.TemporaryDirectory() as d:
+            doc = os.path.join(d, "doc.txt")
+            with open(doc, "w") as fh:
+                fh.write("a" * (doc_kb * 1024 - 10) + "hello spam")
+
+            def req():
+                argv = ["ascii", "--e2e", "-d", doc, "-r", "hello.*",
+                        "-b", "0",
+                        "--cmt-name", os.path.join(d, "w.cmt"),
+                        "--proof-name", os.path.join(d, "w.proof")]
+                t0 = time.time()
+                proc.stdin.write(_json.dumps({"argv": argv}) + "\n")
+                proc.stdin.flush()
+                resp = _json.loads(proc.stdout.readline())
+                assert resp.get("ok"), resp
+                return time.time() - t0
+
+            req()                          # warm the worker
+            return min(req() for _ in range(iters))
+    finally:
+        try:
+            proc.stdin.close()
+            proc.wait(timeout=10)
+        except Exception:
+            proc.kill()
+
+
+def bench_device_verify():
+    """Run the full device-offload revalidation (workloads/device_verify)
+    on the real chip; returns 1.0 on ALL PASS (the driver artifact's
+    device_verify_pass flag)."""
+    import subprocess
+    root = os.path.dirname(os.path.abspath(__file__))
+    r = subprocess.run(
+        [sys.executable, os.path.join(root, "workloads",
+                                      "device_verify.py")],
+        capture_output=True, text=True, cwd=root)
+    return 1.0 if "ALL PASS" in (r.stdout or "") else 0.0
 
 
 def bench_e2e_dna(n=1_000_000):
@@ -327,7 +387,9 @@ def main():
                          ("msm_native_host_pts_per_s", bench_msm_native),
                          ("sumcheck_device_folds_per_s", bench_sumcheck_device),
                          ("e2e_prover_s_per_KB", bench_e2e_prover),
-                         ("e2e_dna_1mb_s", bench_e2e_dna)]:
+                         ("e2e_warm_1kb_s", bench_e2e_warm),
+                         ("e2e_dna_1mb_s", bench_e2e_dna),
+                         ("device_verify_pass", bench_device_verify)]:
             try:
                 t0 = time.time()
                 results[name] = round(fn(), 2)
@@ -338,9 +400,12 @@ def main():
         return
 
     # Driver mode: ONE JSON line carrying the headline metric plus the
-    # other two headline numbers (MSM pts/s, e2e prover s/KB) as extras.
+    # other headline numbers as extras.  Every metric carries an explicit
+    # live-or-cached label (VERDICT r2 weak #1: the artifact is the
+    # record; each value must say whether THIS run measured it).
     cache = _load_cache()
     stale = []
+    live = {}
 
     def measure(key, fn, seconds, tries=2):
         val = None
@@ -351,9 +416,11 @@ def main():
             err = f"{type(e).__name__}: {e}"
         if val is not None:
             cache[key] = round(val, 2)
+            live[key] = True
             _store_cache(cache)
             return cache[key]
         stale.append(key + ("" if err is None else f" ({err})"))
+        live[key] = False
         return cache.get(key, 0)
 
     def measure_sub(key, expr, seconds, tries=2, backoff=20):
@@ -362,11 +429,13 @@ def main():
             val, err = _run_sandboxed(expr, seconds)
             if val is not None:
                 cache[key] = round(val, 2)
+                live[key] = True
                 _store_cache(cache)
                 return cache[key]
             if attempt + 1 < tries:
                 time.sleep(backoff)
         stale.append(f"{key} ({err})")
+        live[key] = False
         return cache.get(key, 0)
 
     # cold plugin registration alone is ~40s through the tunnel; under
@@ -387,11 +456,20 @@ def main():
         # compiles — report last-good immediately
         stale.append("device_benches (tunnel probe timed out)")
         perms = cache.get("poseidon_perms_per_s", 0)
+        live["poseidon_perms_per_s"] = False
     msm_native = measure("msm_native_pts_per_s", bench_msm_native, 120)
-    msm_dev = (measure_sub("msm_device_kernel_pts_per_s",
-                           "bench.bench_msm_device()", 420) if device_ok
-               else cache.get("msm_device_kernel_pts_per_s", 0))
+    if device_ok:
+        msm_dev = measure_sub("msm_device_kernel_pts_per_s",
+                              "bench.bench_msm_device()", 540)
+        dverify = measure_sub("device_verify_pass",
+                              "bench.bench_device_verify()", 560, tries=1)
+    else:
+        msm_dev = cache.get("msm_device_kernel_pts_per_s", 0)
+        live["msm_device_kernel_pts_per_s"] = False
+        dverify = cache.get("device_verify_pass", 0)
+        live["device_verify_pass"] = False
     e2e = measure("e2e_prover_s_per_KB", bench_e2e_prover, 420, tries=1)
+    e2e_warm = measure("e2e_warm_1kb_s", bench_e2e_warm, 300, tries=1)
     dna = measure("e2e_dna_1mb_s", bench_e2e_dna, 420, tries=1)
 
     out = {
@@ -402,8 +480,11 @@ def main():
         "extra": {
             "msm_native_host_pts_per_s": msm_native,
             "msm_device_kernel_pts_per_s": msm_dev,
+            "device_verify_pass": dverify,
             "e2e_prover_s_per_KB": e2e,
+            "e2e_warm_1kb_s": e2e_warm,
             "e2e_dna_1mb_s": dna,
+            "live": live,
             "baseline_note": ("vs_baseline divides by an ESTIMATED 2e5 "
                               "perm/s single-core neptune figure; the "
                               "reference publishes no in-repo numbers "
@@ -414,7 +495,8 @@ def main():
         out["extra"]["stale_or_failed"] = stale
         out["extra"]["note"] = ("values for listed keys are last-good "
                                 "cached measurements (tunnel wedge/retry "
-                                "exhausted)")
+                                "exhausted); the `live` map labels every "
+                                "metric")
     print(json.dumps(out))
 
 

@@ -1497,6 +1497,36 @@ void derive_one(const Field& f, const SqrtCtx& sc, const uint8_t* prefix,
 
 extern "C" {
 
+// Batch modular square roots in the curve's BASE field: in/out are n
+// 32-byte LE canonical values; out[i] = a canonical sqrt of in[i], with
+// ok[i] = 1, or ok[i] = 0 for non-residues (the verifier's point
+// decompression hot spot: a python Tonelli per L/R point was ~0.1s of
+// every proof verification).
+void pasta_sqrt_batch(int curve_id, int64_t n, const uint8_t* in,
+                      uint8_t* out, uint8_t* ok) {
+  Curve& cv = *get_curve(curve_id);
+  const Field& f = cv.f;
+  const SqrtCtx& sc = *get_sqrt_ctx(f, curve_id);
+  for (int64_t i = 0; i < n; i++) {
+    Fe a, am, ym, y;
+    memcpy(a.v, in + 32 * i, 32);
+    if ((a.v[0] | a.v[1] | a.v[2] | a.v[3]) == 0) {  // sqrt(0) = 0
+      memset(out + 32 * i, 0, 32);
+      ok[i] = 1;
+      continue;
+    }
+    f.to_mont(am, a);
+    if (!fe_sqrt(f, sc, ym, am)) {
+      ok[i] = 0;
+      memset(out + 32 * i, 0, 32);
+      continue;
+    }
+    f.from_mont(y, ym);
+    memcpy(out + 32 * i, y.v, 32);
+    ok[i] = 1;
+  }
+}
+
 // Derive `count` generators for indices [start, start+count) under the
 // python derivation prefix (cv.name || "/" || label || "/"); out is
 // count * 65 bytes packed LE.  Threaded: points are independent.

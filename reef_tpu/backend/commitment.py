@@ -334,13 +334,16 @@ class PedersenGens:
 
     def device_G(self):
         """Device-resident basis for the TPU Pippenger MSM (cached; one
-        upload per gens set — the production fold/commit shape)."""
+        upload per gens set — the production fold/commit shape).  v3:
+        fused-padd chunk-scanned kernel with on-device prep
+        (ec.msm_v3; the v2 DeviceBasis path remains for A/B validation
+        via workloads/device_verify.py)."""
         if self._device_basis is None:
             from ..ec.msm import pallas_kernels, vesta_kernels
-            from ..ec.msm_pippenger import DeviceBasis
+            from ..ec.msm_v3 import DeviceBasisV3
             ck = (pallas_kernels() if self.cv.name == "pallas"
                   else vesta_kernels())
-            self._device_basis = DeviceBasis(ck, self.G)
+            self._device_basis = DeviceBasisV3(ck, self.G)
         return self._device_basis
 
     def sharded_G(self, mesh=None):
@@ -367,8 +370,8 @@ class PedersenGens:
             basis = self.sharded_G()
             return sharded_msm(basis.mesh, basis.ck, list(values), basis)
         basis = self.device_G()
-        from ..ec.msm_pippenger import msm_device
-        return msm_device(basis.ck, list(values), basis)
+        from ..ec.msm_v3 import msm_device_v3
+        return msm_device_v3(basis.ck, list(values), basis)
 
     def commit(self, values: List[int], blind: int) -> Point:
         cv = self.cv

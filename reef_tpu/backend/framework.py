@@ -398,78 +398,100 @@ def _run_verifier(commit: ReefCommitment, safa: SAFA, proofs: Proofs,
 
     mt.tic("Verifier", "snark_verification")
     # O(1) IVC verification: hash-chain checks (binding n, z0, zn and both
-    # running instances), one clear fold, two Spartan SNARKs.
+    # running instances), one clear fold, two Spartan SNARKs.  The IVC
+    # check runs in a thread overlapping the consistency/CAP checks below
+    # (their hot loops are native MSMs with the GIL released).
     if not isinstance(proofs.ivc, IVC.IVCProof):
         return False
     if len(proofs.ivc.zn) != arity:
         return False
-    if not IVC.verify(proofs.ivc, shape, wc, ec, z0):
-        return False
+    import threading
+    ivc_res = [False]
+
+    def _ivc_check():
+        try:
+            ivc_res[0] = IVC.verify(proofs.ivc, shape, wc, ec, z0)
+        except Exception:
+            ivc_res[0] = False
+
+    ivc_th = threading.Thread(target=_ivc_check)
+    ivc_th.start()
     zn = [v % f.p for v in proofs.ivc.zn]
     mt.stop("Verifier", "snark_verification")
 
-    # 3. zn layout checks (framework.rs:830-875)
-    mt.tic("Verifier", "consistency_verification")
-    sc_l, doc_l, hyb_l = circuit.sc_l, circuit.doc_l, circuit.hyb_l
-    if zn[0] != tt.exit_state % f.p:
-        return False
-    if circuit.mode == "split":
-        nl_q = zn[1:1 + sc_l]
-        nl_v = zn[1 + sc_l]
-        hash_slot = zn[2 + sc_l + doc_l]
-        sp_slot = zn[3 + sc_l + doc_l]
-    elif circuit.mode == "hybrid":
-        hash_slot = zn[1 + hyb_l]
-        sp_slot = zn[2 + hyb_l]
-        nl_q = nl_v = None
-    else:
-        nl_q = zn[1:1 + sc_l]
-        nl_v = zn[1 + sc_l]
-        sp_slot = zn[2 + sc_l]
-        hash_slot = None
-    if sp_slot != 0:
-        return False
-    if nl_q is not None and verifier_mle_eval(f, tt.table, nl_q) != nl_v:
-        return False
-
-    # 4. consistency (doc side)
-    if not merkle:
-        cp = proofs.consist
-        if cp is None or proofs.cap is None:
+    def _layout_and_consistency() -> bool:
+        # 3. zn layout checks (framework.rs:830-875)
+        sc_l, doc_l, hyb_l = circuit.sc_l, circuit.doc_l, circuit.hyb_l
+        if zn[0] != tt.exit_state % f.p:
             return False
-        if cp.hash_d != hash_slot:
-            return False
-        # Bind the eval point: the verifier recomputes the expected running
-        # q from zn's circuit-carried doc claim point (split: the nldoc
-        # slots; hybrid: the combined hq slots) + the deterministically
-        # re-derived projection chunk bits, and rejects a proof whose
-        # consistency eval runs at any other point.  Without this the doc
-        # MLE could be opened at a prover-chosen q', unlinking the
-        # committed document from the circuit's claim.
-        if hybrid:
-            circ_q = zn[1:1 + hyb_l]
+        if circuit.mode == "split":
+            nl_q = zn[1:1 + sc_l]
+            nl_v = zn[1 + sc_l]
+            hash_slot = zn[2 + sc_l + doc_l]
+            sp_slot = zn[3 + sc_l + doc_l]
+        elif circuit.mode == "hybrid":
+            hash_slot = zn[1 + hyb_l]
+            sp_slot = zn[2 + hyb_l]
+            nl_q = nl_v = None
         else:
-            circ_q = zn[2 + sc_l:2 + sc_l + doc_l]
-        try:
-            expected_q = CM.adjust_running_q(
-                commit.nldoc.n_vars, circ_q, tt.proj_chunk_idx,
-                tt.doc_subset is not None, hybrid)
-        except AssertionError:
+            nl_q = zn[1:1 + sc_l]
+            nl_v = zn[1 + sc_l]
+            sp_slot = zn[2 + sc_l]
+            hash_slot = None
+        if sp_slot != 0:
             return False
-        if [v % f.p for v in cp.running_q] != \
-                [v % f.p for v in expected_q]:
+        if nl_q is not None and verifier_mle_eval(f, tt.table,
+                                                  nl_q) != nl_v:
             return False
-        if not CM.verify_consistency(
-                commit.nldoc, cp, table=tt.table,
-                q=None if not hybrid else circ_q):
-            return False
-        # CAP: Poseidon(v,salt)=hash_d, v committed with the SAME commitment
-        # the dot-product argument used
-        cap = proofs.cap
-        if cap.d != hash_slot:
-            return False
-        v_commit = CM.PALLAS.decompress(cp.v_commit)
-        if not cap_verify(cap, v_commit):
-            return False
+
+        # 4. consistency (doc side)
+        if not merkle:
+            cp = proofs.consist
+            if cp is None or proofs.cap is None:
+                return False
+            if cp.hash_d != hash_slot:
+                return False
+            # Bind the eval point: the verifier recomputes the expected
+            # running q from zn's circuit-carried doc claim point (split:
+            # the nldoc slots; hybrid: the combined hq slots) + the
+            # deterministically re-derived projection chunk bits, and
+            # rejects a proof whose consistency eval runs at any other
+            # point.  Without this the doc MLE could be opened at a
+            # prover-chosen q', unlinking the committed document from the
+            # circuit's claim.
+            if hybrid:
+                circ_q = zn[1:1 + hyb_l]
+            else:
+                circ_q = zn[2 + sc_l:2 + sc_l + doc_l]
+            try:
+                expected_q = CM.adjust_running_q(
+                    commit.nldoc.n_vars, circ_q, tt.proj_chunk_idx,
+                    tt.doc_subset is not None, hybrid)
+            except AssertionError:
+                return False
+            if [v % f.p for v in cp.running_q] != \
+                    [v % f.p for v in expected_q]:
+                return False
+            if not CM.verify_consistency(
+                    commit.nldoc, cp, table=tt.table,
+                    q=None if not hybrid else circ_q):
+                return False
+            # CAP: Poseidon(v,salt)=hash_d, v committed with the SAME
+            # commitment the dot-product argument used
+            cap = proofs.cap
+            if cap.d != hash_slot:
+                return False
+            v_commit = CM.PALLAS.decompress(cp.v_commit)
+            if not cap_verify(cap, v_commit):
+                return False
+        return True
+
+    # layout + consistency/CAP run concurrently with the threaded IVC
+    # check started above
+    mt.tic("Verifier", "consistency_verification")
+    try:
+        rest_ok = _layout_and_consistency()
+    finally:
+        ivc_th.join()
     mt.stop("Verifier", "consistency_verification")
-    return True
+    return rest_ok and ivc_res[0]

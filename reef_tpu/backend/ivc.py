@@ -495,6 +495,24 @@ def verify(proof: IVCProof, shape1: R1CSShape, wc1: VectorCommitter,
         [(a + r * b) % p for a, b in zip(U2.x, u2.x)],
     )
 
-    if not spartan_verify(shape1, wc1, ec1, U1, proof.spartan1):
-        return False
-    return spartan_verify(shape2, wc2, ec2, U2_final, proof.spartan2)
+    # the two per-curve Spartan verifies are independent and their hot
+    # loops (s-vector MSMs, matrix MLE evals) run in native code with the
+    # GIL released: verify them in parallel (the reference leans on rayon
+    # the same way, safa.rs:377)
+    import threading
+    res = [False]
+
+    def _second():
+        try:
+            res[0] = spartan_verify(shape2, wc2, ec2, U2_final,
+                                    proof.spartan2)
+        except Exception:
+            res[0] = False
+
+    th = threading.Thread(target=_second)
+    th.start()
+    try:
+        ok1 = spartan_verify(shape1, wc1, ec1, U1, proof.spartan1)
+    finally:
+        th.join()
+    return ok1 and res[0]

@@ -1,35 +1,39 @@
-"""Device Pippenger MSM v3: on-device prep, chunk-scanned, upload = scalars.
+"""Device Pippenger MSM v3: fused-padd, on-device prep, chunk-scanned.
 
-The v2 kernel (ec.msm_pippenger) prepares per-window sort orders and Fenwick
-boundary indices on the HOST and uploads them per call — (W, n) int32 order
-arrays alone are 8 MB at n=2^16, and every chunk re-pays the Fenwick+halve
-combine.  v3 moves the whole prep onto the chip and restructures the chunk
-loop as one lax.scan:
+The v2 kernel (ec.msm_pippenger) composes every point add from ~29 XLA limb
+ops (unrolled 16-limb carry chains), so its per-size jits are huge graphs —
+exactly what wedges the tunneled compile service — and it uploads (W, n)
+int32 sort orders + Fenwick index arrays per call (8 MB at n=2^16).  v3
+fixes both:
 
-  upload    scalars as (n, 32) uint8 little-endian bytes (the ONLY per-call
-            host->device transfer; the basis is resident)
-  device    per chunk (lax.scan body, ONE compile for any n):
-              1. digits = the 32 LE bytes (c=8 byte windows, W=32)
-              2. per-window sort: keys = digit<<20 | lane, jnp.sort,
-                 flip -> descending-digit order (stability is irrelevant:
-                 bucket sums are commutative)
-              3. boundary counts c_ge[w,d] = #digits >= d via batched
-                 searchsorted on the ascending keys
-              4. gather points into window order, pairwise sum tree
-                 (log cap shrinking batched complete-adds)
-              5. Fenwick assembly of the 255 boundary prefix sums per
-                 window from <= log cap tree nodes (lax.scan over levels,
-                 one batched padd body)
-              6. accumulate the (W, 256) boundary prefixes into the scan
-                 carry with one 8192-lane padd
-            after the scan: ONE masked-halving sum over the digit axis
-            (the Pippenger running-sum identity sum_d d*B_d =
-            sum_{d>=1} prefix[count(digit>=d)-1], linear across chunks)
-  download  (W, 3, N) window accumulators (~6 KB)
-  host      combine: sum_w 2^{8w} * A_w (a 32-point double-and-add)
+  - the point-add primitive is the FUSED Pallas kernel (pallas_ec.padd_soa:
+    the whole RCB complete addition in one Mosaic kernel) — measured
+    31M padd-lanes/s at 262k lanes on the v5e, and each padd is ONE custom
+    call in the XLA graph instead of ~29 ops (30x smaller graphs);
+  - ALL host prep moves onto the chip: digits are the scalar's LE bytes
+    (c=8 byte windows), per-window descending sort via jnp.sort of
+    digit<<20|lane keys, boundary counts via batched searchsorted, Fenwick
+    node indices by bit arithmetic — the only per-call upload is the
+    (n, 32) uint8 scalar bytes;
+  - the chunk loop is a lax.scan accumulating (W, 256) boundary prefix
+    sums (linear across chunks), with ONE masked-halving digit sum after
+    the scan — one compile for any n at a fixed chunk cap, one device
+    program launch per MSM (the tunnel costs ~0.6-2 ms per launch).
+
+Pipeline per MSM (basis resident; Pippenger running-sum identity
+sum_d d*B_d = sum_{d>=1} prefix[count(digit>=d)-1]):
+
+  upload scalar bytes -> per chunk: sort / counts / gather / pairwise-sum
+  tree (log cap fused padds) / Fenwick boundary assembly (lax.scan, one
+  padd body) / accumulate -> halve digit axis -> download (W,3,N) ~6 KB ->
+  host 32-point combine.
 
 Matches the reference's per-fold commit MSM hot spot (framework.rs:668;
 commitment.rs:182-187) re-designed for the TPU memory system.
+
+Layout note: points are SoA (3, N, B) — coordinate-major, limbs-major,
+batch on lanes (pallas_ec's native layout), so tree levels and digit-axis
+ops are pure last-axis slices/reshapes.
 """
 
 from __future__ import annotations
@@ -41,11 +45,11 @@ from typing import List
 import numpy as np
 
 from ..ops import limb
-from .msm import CurveKernels, padd
+from .msm import CurveKernels
 from .pasta import Point
 
 WINDOW_C = 8
-N_WINDOWS = 32            # 256 LE bytes cover the 255-bit scalars
+N_WINDOWS = 32            # 32 LE bytes cover the 255-bit scalars
 D = 255                   # digits 1..255 have bucket boundaries
 DP = 256                  # padded digit axis (multiple of 128 lanes)
 
@@ -60,10 +64,35 @@ def scalars_to_bytes(scalars: List[int], order_mod: int) -> np.ndarray:
     return out
 
 
-def _chunk_prefixes(ck: CurveKernels, cap: int):
-    """Traced fn: (pts (cap,3,N), scb (cap,32) u8, ident) ->
-    (W, DP, 3, N) boundary prefix sums for this chunk (identity where the
-    boundary is empty / at the pad lane)."""
+def _padd3(ck: CurveKernels, use_fused: bool):
+    """Point-add on SoA (3, N, B) arrays; fused Pallas kernel on TPU,
+    composed XLA limb ops elsewhere (CPU tests)."""
+    if use_fused:
+        from .pallas_ec import padd_soa
+
+        def fn(P, Q):
+            shape = P.shape
+            B = int(np.prod(shape[2:]))
+            out = padd_soa(ck, P.reshape(3, limb.N, B),
+                           Q.reshape(3, limb.N, B))
+            return out.reshape(shape)
+    else:
+        from .msm import padd
+
+        def fn(P, Q):
+            import jax.numpy as jnp
+            shape = P.shape
+            B = int(np.prod(shape[2:]))
+            Pa = jnp.moveaxis(P.reshape(3, limb.N, B), -1, 0)
+            Qa = jnp.moveaxis(Q.reshape(3, limb.N, B), -1, 0)
+            out = padd(ck, Pa, Qa)
+            return jnp.moveaxis(out, 0, -1).reshape(shape)
+    return fn
+
+
+def _chunk_prefixes(ck: CurveKernels, cap: int, padd3):
+    """Traced fn: (pts (3,N,cap), scb (cap,32) u8, acc (3,N,W,DP)) ->
+    acc + this chunk's boundary prefix sums."""
     import jax
     import jax.numpy as jnp
 
@@ -74,8 +103,7 @@ def _chunk_prefixes(ck: CurveKernels, cap: int):
         offs.append(offs[-1] + width)
         width //= 2
 
-    def fn(pts, scb, ident):
-        nl = pts.shape[-1]
+    def fn(pts, scb, acc):
         digs = scb.T.astype(jnp.uint32)                    # (32, cap)
         lanes = jax.lax.broadcasted_iota(jnp.uint32, (N_WINDOWS, cap), 1)
         keys = jnp.sort((digs << 20) | lanes, axis=1)      # ascending
@@ -83,13 +111,12 @@ def _chunk_prefixes(ck: CurveKernels, cap: int):
         order_desc = (keys & 0xFFFFF)[:, ::-1].astype(jnp.int32)
 
         # c_ge[w, d-1] = #lanes with digit >= d, d = 1..255 (+1 pad lane)
-        dvals = jnp.arange(1, DP + 1, dtype=jnp.uint32)    # pad d=256 -> 0
+        dvals = jnp.arange(1, DP + 1, dtype=jnp.uint32)
         c_ge = cap - jax.vmap(
             lambda row: jnp.searchsorted(row, dvals, side="left"))(asc_digs)
-        c_ge = jnp.where(dvals[None, :] <= D, c_ge, 0)     # (W, DP) int
+        c_ge = jnp.where(dvals[None, :] <= D, c_ge, 0)     # (W, DP)
 
-        # Fenwick node index/mask per level (derived on device; v2 uploaded
-        # these as (LV, W, D) int32 arrays)
+        # Fenwick node index/mask per level (v2 uploaded these per call)
         m = c_ge.astype(jnp.int32)
         lv_idx = []
         lv_mask = []
@@ -100,82 +127,83 @@ def _chunk_prefixes(ck: CurveKernels, cap: int):
         lv_idx = jnp.stack(lv_idx)                         # (LV, W, DP)
         lv_mask = jnp.stack(lv_mask)
 
-        sorted_pts = pts[order_desc]                       # (W, cap, 3, N)
+        # gather into window order: flattened (W*cap) take on the lane
+        # axis keeps window-major order with NO transposes
+        sorted_pts = jnp.take(pts, order_desc.reshape(-1), axis=-1)
+        sorted_pts = sorted_pts.reshape(3, limb.N, N_WINDOWS, cap)
 
-        # pairwise-sum tree over the sorted points
+        # pairwise-sum tree (log cap fused padds, shrinking lane counts)
         levels = [sorted_pts]
         cur = sorted_pts
-        while cur.shape[1] > 1:
-            cur = padd(ck, cur[:, 0::2], cur[:, 1::2])
+        while cur.shape[-1] > 1:
+            cur = padd3(cur[..., 0::2], cur[..., 1::2])
             levels.append(cur)
-        flat = jnp.concatenate(levels, axis=1)             # (W, 2cap-1,3,N)
+        flat = jnp.concatenate(levels, axis=-1)       # (3,N,W,2cap-1)
 
-        def fenwick(acc, lvl):
-            idx, mask = lvl
-            gi = jnp.broadcast_to(idx[:, :, None, None],
-                                  (N_WINDOWS, DP, 3, nl))
-            g = jnp.take_along_axis(flat, gi, axis=1)
-            summed = padd(ck, acc, g)
-            return jnp.where(mask[:, :, None, None], summed, acc), None
+        def fenwick(a, lvl):
+            idx, mask = lvl                           # (W, DP)
+            g = jnp.take_along_axis(flat, idx[None, None, :, :], axis=-1)
+            summed = padd3(a, g)
+            return jnp.where(mask[None, None, :, :], summed, a), None
 
-        acc0 = jnp.broadcast_to(ident, (N_WINDOWS, DP, 3, nl))
-        acc, _ = jax.lax.scan(fenwick, acc0, (lv_idx, lv_mask))
-        return acc
+        out, _ = jax.lax.scan(fenwick, acc, (lv_idx, lv_mask))
+        return out
 
     return fn
 
 
-def _halve_digits(ck: CurveKernels, acc):
+def _halve_digits(padd3, acc):
     """Sum the DP boundary prefixes per window: masked-halving scan with a
-    single batched point-add body -> (W, 3, N)."""
+    single fused padd body.  acc (3,N,W,DP) -> (3,N,W)."""
     import jax
     import jax.numpy as jnp
 
-    pos = jnp.arange(DP)[None, :, None, None]
+    pos = jnp.arange(DP)[None, None, None, :]
 
     def halve(carry, shift):
-        shifted = jnp.roll(carry, -shift, axis=1)
-        summed = padd(ck, carry, shifted)
+        shifted = jnp.roll(carry, -shift, axis=-1)
+        summed = padd3(carry, shifted)
         return jnp.where(pos < shift, summed, carry), None
 
     shifts = jnp.asarray([DP >> k for k in range(1, DP.bit_length())])
     acc, _ = jax.lax.scan(halve, acc, shifts)
-    return acc[:, 0]
+    return acc[..., 0]
 
 
-def _kernel_fn(ck: CurveKernels, cap: int, n_chunks: int):
+def _kernel_fn(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool):
     import jax
     import jax.numpy as jnp
 
-    chunk = _chunk_prefixes(ck, cap)
+    padd3 = _padd3(ck, use_fused)
+    chunk = _chunk_prefixes(ck, cap, padd3)
 
-    def fn(pts, scb, ident):
-        # pts (n_chunks, cap, 3, N); scb (n_chunks, cap, 32)
-        nl = pts.shape[-1]
-        acc0 = jnp.broadcast_to(ident, (N_WINDOWS, DP, 3, nl))
+    def fn(pts, scb, ident_soa):
+        # pts (n_chunks, 3, N, cap); scb (n_chunks, cap, 32);
+        # ident_soa (3, N)
+        acc0 = jnp.broadcast_to(ident_soa[:, :, None, None],
+                                (3, limb.N, N_WINDOWS, DP))
         if n_chunks == 1:
-            acc = chunk(pts[0], scb[0], ident)
+            acc = chunk(pts[0], scb[0], acc0)
         else:
-            def body(acc, xs):
+            def body(a, xs):
                 p, s = xs
-                return padd(ck, acc, chunk(p, s, ident)), None
+                return chunk(p, s, a), None
             acc, _ = jax.lax.scan(body, acc0, (pts, scb))
-        return _halve_digits(ck, acc)                      # (W, 3, N)
+        return _halve_digits(padd3, acc)             # (3, N, W)
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_jit(ck: CurveKernels, cap: int, n_chunks: int):
+def _kernel_jit(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool):
     import jax
-    return jax.jit(_kernel_fn(ck, cap, n_chunks))
+    return jax.jit(_kernel_fn(ck, cap, n_chunks, use_fused))
 
 
-def combine_windows(ck: CurveKernels, accs) -> Point:
-    """Host combine: sum_w 2^{8w} * A_w (A_31 is always identity for
-    255-bit scalars but participates for shape regularity)."""
+def combine_windows(ck: CurveKernels, accs_soa) -> Point:
+    """Host combine: sum_w 2^{8w} * A_w.  accs_soa (3, N, W) numpy."""
     cv = ck.curve
-    window_pts = ck.to_affine(accs)
+    window_pts = ck.to_affine(np.transpose(accs_soa, (2, 0, 1)))
     result: Point = None
     for w in reversed(range(N_WINDOWS)):
         for _ in range(WINDOW_C):
@@ -185,12 +213,22 @@ def combine_windows(ck: CurveKernels, accs) -> Point:
 
 
 def default_cap() -> int:
-    cap = int(os.environ.get("REEF_DEVICE_MSM_CHUNK", "8192"))
+    """Per-chunk point count (REEF_DEVICE_MSM_CHUNK): 16384 measured
+    fastest at the fold shapes (418k pts/s at 2^16 vs 290k at cap 8192 —
+    fewer chunks = fewer per-chunk Fenwick/sort/accumulate costs); the
+    one-time compile of the chunk body is ~6 min through the tunneled
+    compile service and persistent-cached thereafter."""
+    cap = int(os.environ.get("REEF_DEVICE_MSM_CHUNK", "16384"))
     return max(128, 1 << (cap - 1).bit_length())
 
 
+def _use_fused() -> bool:
+    import jax
+    return jax.devices()[0].platform == "tpu"
+
+
 class DeviceBasisV3:
-    """Device-resident basis pre-shaped (n_chunks, cap, 3, N) for the
+    """Device-resident basis pre-shaped (n_chunks, 3, N, cap) for the
     chunk-scanned kernel (one upload per gens set)."""
 
     def __init__(self, ck: CurveKernels, points, cap: int = 0):
@@ -211,8 +249,12 @@ class DeviceBasisV3:
             points = np.concatenate([points, pad])
         self.n2 = n2
         self.n_chunks = n2 // self.cap
-        self.arr = jax.device_put(jnp.asarray(
-            points.reshape(self.n_chunks, self.cap, 3, limb.N)))
+        soa = np.transpose(points, (1, 2, 0))         # (3, N, n2)
+        soa = soa.reshape(3, limb.N, self.n_chunks, self.cap)
+        soa = np.ascontiguousarray(np.transpose(soa, (2, 0, 1, 3)))
+        self.arr = jax.device_put(jnp.asarray(soa))
+        self.ident_soa = jax.device_put(
+            jnp.asarray(np.asarray(ck.ident)))        # (3, N)
 
 
 def msm_device_v3(ck: CurveKernels, scalars: List[int], points) -> Point:
@@ -229,21 +271,9 @@ def msm_device_v3(ck: CurveKernels, scalars: List[int], points) -> Point:
     scb = np.zeros((points.n2, 32), np.uint8)
     scb[:n] = scalars_to_bytes(list(scalars), ck.curve.order)
 
-    use_pallas = jax.devices()[0].platform == "tpu"
-    if use_pallas:
-        from ..ops import limb as _limb
-        from ..ops import pallas_field
-        prev_mul = _limb.mul
-        prev_thr = pallas_field._THRESHOLD
-        pallas_field.enable(threshold=min(prev_thr, 2048))
-    try:
-        kern = _kernel_jit(ck, points.cap, points.n_chunks)
-        accs = np.asarray(kern(
-            points.arr,
-            jnp.asarray(scb.reshape(points.n_chunks, points.cap, 32)),
-            jnp.asarray(np.asarray(ck.ident))))
-    finally:
-        if use_pallas:
-            _limb.mul = prev_mul
-            pallas_field._THRESHOLD = prev_thr
+    kern = _kernel_jit(ck, points.cap, points.n_chunks, _use_fused())
+    accs = np.asarray(kern(
+        points.arr,
+        jnp.asarray(scb.reshape(points.n_chunks, points.cap, 32)),
+        points.ident_soa))
     return combine_windows(ck, accs)

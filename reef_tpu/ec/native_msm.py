@@ -182,6 +182,38 @@ def derive_gens_packed(curve, label: bytes, start: int,
     return out.raw
 
 
+def sqrt_batch(curve, values) -> Optional[list]:
+    """Batch modular square roots in the curve's BASE field (bit-identical
+    to Curve.sqrt, pasta.py:35 — canonical min(y, p-y) is picked by the
+    CALLER; this returns the raw Tonelli root).  Returns a list of
+    Optional[int] (None for non-residues), or None when the native library
+    is unavailable.  The verifier decompresses ~100 L/R points per proof;
+    the python Tonelli loop was ~0.1s of every verify."""
+    lib = _load()
+    if lib is None or not values:
+        return None
+    from .pasta import PALLAS
+    n = len(values)
+    buf = b"".join((v % curve.p).to_bytes(32, "little") for v in values)
+    out = ctypes.create_string_buffer(32 * n)
+    ok = ctypes.create_string_buffer(n)
+    try:
+        fn = lib.pasta_sqrt_batch
+    except AttributeError:
+        return None
+    fn(ctypes.c_int(0 if curve is PALLAS else 1), ctypes.c_int64(n),
+       buf, out, ok)
+    res = []
+    raw = out.raw
+    okr = ok.raw
+    for i in range(n):
+        if okr[i]:
+            res.append(int.from_bytes(raw[32 * i:32 * i + 32], "little"))
+        else:
+            res.append(None)
+    return res
+
+
 def fold_points_native(curve, xi: int, x: int, lo, hi):
     """[xi*lo[i] + x*hi[i]] batched (the IPA basis fold)."""
     lib = _load()

@@ -33,9 +33,21 @@ class Curve:
     # ---- field helpers -------------------------------------------------
 
     def sqrt(self, a: int) -> Optional[int]:
-        """Tonelli-Shanks (both pasta primes have 2-adicity 32)."""
+        """Tonelli-Shanks (both pasta primes have 2-adicity 32).
+
+        Returns SOME root (callers normalize parity / min themselves);
+        routed through the native batch kernel when available — the
+        verifier decompresses ~100 proof points, each costing a python
+        Tonelli (~80us) otherwise."""
         p = self.p
         a %= p
+        try:
+            from .native_msm import sqrt_batch
+            res = sqrt_batch(self, [a])
+            if res is not None:
+                return res[0]
+        except Exception:
+            pass
         if a == 0:
             return 0
         if pow(a, (p - 1) // 2, p) != 1:

@@ -66,6 +66,30 @@ def verify_device_msm(n=12288, chunk=4096):
             os.environ["REEF_DEVICE_MSM_CHUNK"] = prev_chunk
 
 
+def verify_device_msm_v3(n=12288, cap=4096):
+    """v3 (production route): fused-padd chunk-scanned kernel with
+    on-device prep, bit-exact vs host oracle at a non-power-of-2 n above
+    the chunk cap."""
+    from reef_tpu.ec import msm as M
+    from reef_tpu.ec import msm_v3 as V3
+    from reef_tpu.ec.pasta import VESTA
+
+    rng = random.Random(11)
+    base = [VESTA.mul(rng.randrange(1, 1 << 64), VESTA.gen)
+            for _ in range(256)]
+    pts = (base * (n // len(base) + 1))[:n]
+    scalars = [rng.randrange(VESTA.order) for _ in range(n)]
+    scalars[0] = 0
+    ck = M.vesta_kernels()
+    basis = V3.DeviceBasisV3(ck, pts, cap=cap)
+    t0 = time.time()
+    got = V3.msm_device_v3(ck, scalars, basis)
+    dt = time.time() - t0
+    want = VESTA.msm(scalars, pts)
+    assert got == want, f"v3 device MSM mismatch: {got} != {want}"
+    log(f"PASS device MSM v3 n={n} cap={cap} ({dt:.1f}s incl. compile)")
+
+
 def verify_device_sumcheck(ell=12):
     """Device nlookup sumcheck transcript == host transcript, rate-8 shape."""
     from reef_tpu.backend import sumcheck as SC
@@ -115,5 +139,6 @@ if __name__ == "__main__":
     plat = check_platform()
     verify_device_sumcheck()
     verify_device_msm()
+    verify_device_msm_v3()
     verify_e2e_offload()
     log(f"ALL PASS (platform={plat})")
