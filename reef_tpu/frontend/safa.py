@@ -174,20 +174,42 @@ class SAFA:
             return True
         return False
 
+    # bounded skip ranges dualize as for-all forks over this many
+    # singleton offsets at most (each child is a deterministic jump);
+    # wider ranges fall back to derivative edges
+    DUAL_RANGE_FORK_MAX = 16
+
     def _add(self, frm: int):
         r = self.nodes[frm].get()
         if R.nullable(r) != self._dual:
             self.accepting.add(frm)
+        if self._dual and r == R.empty():
+            # the original matches NOTHING from here, so the complement
+            # accepts EVERY suffix: jump straight to document end (one
+            # skip trace element) instead of walking the rest of the doc
+            # char-by-char through the empty-language self-loops — an
+            # early mismatch under `-n` was linear in the tail otherwise
+            self._add_edge(frm, self._dual_eof_node(),
+                           skip_edge(OpenSet.open(0)))
+            return
         got = R.extract_skip(r) if self._use_skips else None
         if got is not None and self._dual:
-            # only DETERMINISTIC skips survive dualization: a single
-            # offset is a forced jump (self-dual), while a range/star
-            # skip is an existential choice whose complement is a
-            # for-all over offsets; those fall through to derivative
-            # edges.  Without this, negating `^.{500000}MOTIF...` either
-            # over-accepted (old accepting-flip) or unrolled 500k
+            # DETERMINISTIC skips survive dualization directly: a single
+            # offset is a forced jump (self-dual).  A BOUNDED range is an
+            # existential choice over finitely many offsets, whose
+            # complement is a for-all — representable as a dual AND-fork
+            # over the singleton-offset children `.{k}rem` (each of which
+            # dualizes deterministically); see _dual_range_fork.  Star
+            # skips (unbounded) fall through to derivative edges: their
+            # complement quantifies over every remaining offset, which is
+            # inherently linear — the derivative walk IS the optimal
+            # witness.  Without any of this, negating `^.{500000}MOTIF..`
+            # either over-accepted (old accepting-flip) or unrolled 500k
             # derivative states (pure skip-free rebuild).
-            if got[0].is_single() is None and not got[0].is_nil():
+            single = got[0].is_single()
+            if single is None and not got[0].is_nil():
+                if self._dual_range_fork(frm, got[0], got[1]):
+                    return
                 got = None
         if got is not None:
             skip, rem = got
@@ -198,6 +220,31 @@ class SAFA:
         if self._add_fork(False, frm):
             return
         self._add_derivatives(frm)
+
+    def _dual_range_fork(self, frm: int, skip, rem: R.Regex) -> bool:
+        """Dualize a BOUNDED skip range: the original node is an exists
+        over offsets k in the range (OR-fork over children `.{k}rem`),
+        which the dual build turns into a for-all.  Sound because the
+        fork is an exact semantic rewrite of the original node and each
+        child carries a deterministic single-offset skip."""
+        if not skip.ranges or skip.ranges[-1][1] is None:
+            return False                      # open-ended: not bounded
+        members = []
+        for k in skip.iter_bounded(skip.ranges[-1][1]):
+            members.append(k)
+            if len(members) > self.DUAL_RANGE_FORK_MAX:
+                return False
+        if len(members) < 2:
+            return False
+        q = self.nodes[frm]
+        quant_and = self._dual                # original exists -> dual AND
+        self.nodes[frm] = Quant(q.get(), quant_and)
+        self._index.pop((q.get().uid, q.is_and), None)
+        self._index[(q.get().uid, quant_and)] = frm
+        for k in members:
+            child = R.simpl(R.app(R.range_(R.dot(), k, k), rem))
+            self._add_skip(frm, OpenSet.nil(), child)
+        return True
 
     # ------------------------------------------------------------------
     # accessors

@@ -60,15 +60,29 @@ def sharded_table_cache(lf, table, mesh: Mesh, axis: str = "data"):
 # production path 2: mesh-sharded Pippenger MSM
 # ---------------------------------------------------------------------------
 
+def _mesh_msm_cap() -> int:
+    """Per-device chunk size for the sharded MSM: bounds the SPMD window
+    kernel to ONE compiled shape shared by every commit size (an unchunked
+    kernel compiles per basis size — minutes per shape on the CPU test
+    mesh, and a wedge hazard on the tunneled TPU compiler)."""
+    import os
+    cap = int(os.environ.get("REEF_MESH_MSM_CHUNK", "2048"))
+    return max(2, 1 << (cap - 1).bit_length())
+
+
 class ShardedBasis:
     """Fixed MSM basis resident on the mesh, points sharded over `axis`.
 
     The production Pedersen/Hyrax commits reuse ONE basis for the whole
     run (mirrors ec.msm_pippenger.DeviceBasis for the single-chip path):
     upload + shard once, then each sharded_msm call moves only the O(n)
-    int32 index arrays."""
+    int32 index arrays.  Points are pre-split into per-device chunks of
+    `cap` so every chunk runs the same fixed-shape SPMD kernel; chunk k
+    holds global indices {d*n_local + k*cap + j} (scalars are sliced the
+    same way in sharded_msm)."""
 
-    def __init__(self, ck, points, mesh: Mesh, axis: str = "data"):
+    def __init__(self, ck, points, mesh: Mesh, axis: str = "data",
+                 cap: int = 0):
         self.ck = ck
         self.mesh = mesh
         self.axis = axis
@@ -79,6 +93,8 @@ class ShardedBasis:
         ndev = mesh.devices.size
         n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)
                                 - 1).bit_length())
+        cap = cap or _mesh_msm_cap()
+        self.cap = min(cap, n_local)
         n_pad = n_local * ndev
         if n_pad != n:
             pad = np.broadcast_to(np.asarray(ck.ident),
@@ -87,8 +103,14 @@ class ShardedBasis:
         self.n = n
         self.n_local = n_local
         self.n_pad = n_pad
-        self.arr = jax.device_put(
-            jnp.asarray(points), NamedSharding(mesh, P(axis, None, None)))
+        self.n_chunks = n_local // self.cap
+        sharding = NamedSharding(mesh, P(axis, None, None))
+        grid = points.reshape(ndev, self.n_chunks, self.cap, 3, limb.N)
+        self.chunks = [
+            jax.device_put(jnp.asarray(
+                np.ascontiguousarray(grid[:, k]).reshape(
+                    ndev * self.cap, 3, limb.N)), sharding)
+            for k in range(self.n_chunks)]
 
 
 def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
@@ -101,36 +123,55 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
     point reduce (VERDICT r1 weak #8) with real bucketed partial MSMs.
 
     `points` may be a host list/array (uploaded + sharded per call) or a
-    ShardedBasis (resident; the production commit path)."""
+    ShardedBasis (resident; the production commit path — chunked so one
+    compiled kernel shape serves every commit size)."""
     import jax.numpy as jnp
-    from ..ec.msm_pippenger import combine_windows, window_prep
     from ..ops import limb as _limb
 
     ndev = mesh.devices.size
     n = len(scalars)
     if isinstance(points, ShardedBasis):
+        # chunked: full MSM = point-sum of the per-chunk MSMs; every chunk
+        # runs the SAME fixed-shape SPMD kernel
         assert points.mesh is mesh and n <= points.n_pad
-        n_local = points.n_local
-        n_pad = points.n_pad
-        scalars = list(scalars) + [0] * (n_pad - n)
-        points_dev = points.arr
-    else:
-        n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)
-                                - 1).bit_length())
-        n_pad = n_local * ndev
-        if isinstance(points, list):
-            points = ck.to_proj(points)
-        points = np.asarray(points)
-        if n_pad != n:
-            pad = np.broadcast_to(np.asarray(ck.ident),
-                                  (n_pad - n, 3, _limb.N))
-            points = np.concatenate([points, pad])
-            scalars = list(scalars) + [0] * (n_pad - n)
-        points_dev = jax.device_put(
-            jnp.asarray(points), NamedSharding(mesh, P(axis, None, None)))
+        sc = list(scalars) + [0] * (points.n_pad - n)
+        cap = points.cap
+        nl = points.n_local
+        total = None
+        for k in range(points.n_chunks):
+            chunk_sc = []
+            for d in range(ndev):
+                base = d * nl + k * cap
+                chunk_sc.extend(sc[base:base + cap])
+            r = _sharded_msm_call(mesh, ck, axis, chunk_sc,
+                                  points.chunks[k], cap)
+            total = r if total is None else ck.curve.add(total, r)
+        return total
 
-    # per-shard host prep (independent digit sorts per device shard)
-    from ..ec.msm_pippenger import N_WINDOWS
+    n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)
+                            - 1).bit_length())
+    n_pad = n_local * ndev
+    if isinstance(points, list):
+        points = ck.to_proj(points)
+    points = np.asarray(points)
+    if n_pad != n:
+        pad = np.broadcast_to(np.asarray(ck.ident),
+                              (n_pad - n, 3, _limb.N))
+        points = np.concatenate([points, pad])
+        scalars = list(scalars) + [0] * (n_pad - n)
+    points_dev = jax.device_put(
+        jnp.asarray(points), NamedSharding(mesh, P(axis, None, None)))
+    return _sharded_msm_call(mesh, ck, axis, list(scalars), points_dev,
+                             n_local)
+
+
+def _sharded_msm_call(mesh: Mesh, ck, axis: str, scalars, points_dev,
+                      n_local: int):
+    """One fixed-shape SPMD window accumulation + host combine."""
+    import jax.numpy as jnp
+    from ..ec.msm_pippenger import N_WINDOWS, combine_windows, window_prep
+
+    ndev = mesh.devices.size
     orders = np.zeros((ndev, N_WINDOWS, n_local), np.int32)
     bnds = []
     masks = []

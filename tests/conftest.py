@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# small sharded-MSM chunk: ONE fixed SPMD kernel shape for every commit
+# size (the unchunked kernel compiled per basis size — minutes per shape
+# on this 4-core CPU mesh)
+os.environ.setdefault("REEF_MESH_MSM_CHUNK", "256")
+
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")
