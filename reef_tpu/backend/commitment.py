@@ -479,10 +479,11 @@ class HyraxPC:
             import secrets
             blinds = [secrets.randbelow(self.f.p) for _ in range(self.n_rows)]
         rows = None
-        # honor the REEF_DEVICE_MSM opt-in: when the device path would take
-        # these row MSMs, keep the per-row commit() route (which dispatches
-        # to the TPU Pippenger) instead of the host row-batched call
-        if not (_device_msm_on() and self.n_cols >= DEVICE_MSM_MIN_N):
+        # the row MSMs are MANY SMALL MSMs over a shared basis: the host
+        # row-batched native call (basis loaded once, rows threaded) beats
+        # per-row device launches for typical sqrt-factored shapes; only
+        # very wide rows (>= 2^14 cols) go to the device per-row
+        if not (self.n_cols >= (1 << 14) and _device_msm_on(self.n_cols)):
             rows = self.vec_gens.commit_rows(coeffs, blinds)
         if rows is None:
             rows = [self.vec_gens.commit(
