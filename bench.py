@@ -461,8 +461,11 @@ def main():
     if device_ok:
         msm_dev = measure_sub("msm_device_kernel_pts_per_s",
                               "bench.bench_msm_device()", 540)
+        # the full revalidation suite measured ~1100s on the real chip
+        # (every process pays its kernel compiles through the tunnel's
+        # remote compiler): give it the budget it needs, once
         dverify = measure_sub("device_verify_pass",
-                              "bench.bench_device_verify()", 560, tries=1)
+                              "bench.bench_device_verify()", 1300, tries=1)
     else:
         msm_dev = cache.get("msm_device_kernel_pts_per_s", 0)
         live["msm_device_kernel_pts_per_s"] = False

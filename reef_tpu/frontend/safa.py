@@ -178,6 +178,11 @@ class SAFA:
     # singleton offsets at most (each child is a deterministic jump);
     # wider ranges fall back to derivative edges
     DUAL_RANGE_FORK_MAX = 16
+    # total range-fork budget per build: NESTED counted repeats of range
+    # skips multiply fork children per level (fuzz found builds that
+    # never finished); past the budget the build falls back to
+    # derivative edges, which stay polynomial
+    DUAL_RANGE_FORK_BUDGET = 64
 
     def _add(self, frm: int):
         r = self.nodes[frm].get()
@@ -229,6 +234,8 @@ class SAFA:
         child carries a deterministic single-offset skip."""
         if not skip.ranges or skip.ranges[-1][1] is None:
             return False                      # open-ended: not bounded
+        if getattr(self, "_range_forks", 0) >= self.DUAL_RANGE_FORK_BUDGET:
+            return False
         members = []
         for k in skip.iter_bounded(skip.ranges[-1][1]):
             members.append(k)
@@ -236,6 +243,7 @@ class SAFA:
                 return False
         if len(members) < 2:
             return False
+        self._range_forks = getattr(self, "_range_forks", 0) + 1
         q = self.nodes[frm]
         quant_and = self._dual                # original exists -> dual AND
         self.nodes[frm] = Quant(q.get(), quant_and)
@@ -325,7 +333,14 @@ class SAFA:
         (correctness over the skip optimization).  In the skip-free
         build every non-fork state is a total deterministic derivative
         state, so dualize-and-flip is the textbook alternating-automaton
-        complement."""
+        complement.
+
+        Known build-time limitation (pre-existing, independent of the
+        range-fork dualization): deeply NESTED counted repeats of range
+        skips (e.g. `(?:(?:.{3,7}b){3,6}){3,5}`) explode the derivative
+        state space and the build may not terminate in reasonable time —
+        in the positive automaton too; this is a property of counted-
+        repeat expansion, not of negation."""
         ab_str = "".join(chr(c) for c in self.ab)
         return SAFA(ab_str, self.to_regex(), use_skips=True,
                     dual=not self._dual)

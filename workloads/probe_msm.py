@@ -11,7 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.dirname(
-                          os.path.abspath(__file__))), "tests", ".jax_cache"))
+                          os.path.abspath(__file__))), ".jax_cache_tpu"))
 
 
 def log(*a):
