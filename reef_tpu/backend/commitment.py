@@ -276,7 +276,12 @@ def _device_msm_on(n: Optional[int] = None) -> bool:
     # sharded MSM splits the bucket work across the mesh; witness.py:281
     # uses the same platform gate for the sharded sumcheck).  Virtual CPU
     # "devices" (the test mesh) are one host — no win, so auto stays off
-    # there; tests/dryruns force with REEF_DEVICE_MSM=1.
+    # there; tests/dryruns force with REEF_DEVICE_MSM=1.  A jax-free
+    # process stays jax-free: importing jax here cost every host-path
+    # CLI commit a 2.3s import + backend init.
+    import sys
+    if "jax" not in sys.modules:
+        return False
     try:
         import jax
         devs = jax.devices()
