@@ -242,6 +242,37 @@ class _VerifierMerkle:
         self.height = logmn(udoc_len // 2) + 1 if udoc_len > 2 else 1
 
 
+def _prewarm_device_msm(committers) -> None:
+    """Compile (and basis-upload) the device-MSM kernels on the MAIN
+    thread before the fold worker starts.  Two reasons: (a) jax 0.9's
+    persistent compile cache ABORTS the process (C++ CHECK in
+    executable.serialize) when some SPMD executables are cached from a
+    non-main thread — observed in the fold worker on the CPU test mesh;
+    (b) the fold worker's first commit otherwise stalls on minutes of
+    kernel compiles that could overlap setup.  No-op when the device MSM
+    gate is off."""
+    from . import commitment as CM
+    from .ivc import secondary_parts
+    try:
+        _, _, wc2, ec2 = secondary_parts()
+        committers = list(committers) + [wc2, ec2]
+    except Exception:
+        committers = list(committers)
+    seen = set()
+    for c in committers:
+        gens = getattr(c, "gens", c)
+        n = getattr(gens, "n", 0)
+        key = (getattr(gens, "cv", None) and gens.cv.name, n)
+        if key in seen or n < CM.DEVICE_MSM_MIN_N \
+                or not CM._device_msm_on(n):
+            continue
+        seen.add(key)
+        try:
+            gens._msm_device_route([0] * n)
+        except Exception:
+            pass            # warm-up only; real commits report errors
+
+
 # ---------------------------------------------------------------------------
 # prover
 # ---------------------------------------------------------------------------
@@ -275,6 +306,7 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     salt = commit.hash_salt()
     z0 = circuit.z0(salt, tt.table[0])
     rs = RecursiveSNARK(aug, shape, wc, ec, z0)
+    _prewarm_device_msm([wc, ec])
     skip_folds = 0
     if checkpoint_path and _os.path.exists(checkpoint_path):
         rs.restore(SZ.load(checkpoint_path, kind="ckpt"))
