@@ -94,6 +94,53 @@ def test_double_negation_roundtrip():
 
 
 @pytest.mark.slow
+def test_negation_fuzz_vs_python_re():
+    """Seeded random regexes (concats, alternations, stars, counted
+    repeats, range skips) negated and checked against the python-re
+    complement on random docs.  The standalone 888-case burn ran clean;
+    this keeps a 240-case slice in the lane."""
+    rng = random.Random(12345)
+
+    def rand_regex(depth=3):
+        if depth == 0:
+            return rng.choice(["a", "b", "."])
+        c = rng.randrange(7)
+        d = depth - 1
+        if c == 0:
+            return rand_regex(d) + rand_regex(d)
+        if c == 1:
+            return f"(?:{rand_regex(d)})|(?:{rand_regex(d)})"
+        if c == 2:
+            return f"(?:{rand_regex(d)})*"
+        if c == 3:
+            return (f"(?:{rand_regex(d)})"
+                    f"{{{rng.randrange(1, 4)},{rng.randrange(4, 7)}}}")
+        if c == 4:
+            return (f".{{{rng.randrange(1, 5)},{rng.randrange(5, 9)}}}"
+                    + rand_regex(d))
+        if c == 5:
+            return f".{{{rng.randrange(1, 6)}}}" + rand_regex(d)
+        return rand_regex(d)
+
+    total = 0
+    for _ in range(40):
+        rs = rand_regex()
+        try:
+            safa_n = _neg("ab", rs)
+            crx = pyre.compile(rs)
+        except Exception:
+            continue
+        for _ in range(6):
+            doc = "".join(rng.choice("ab")
+                          for _ in range(rng.randrange(0, 11)))
+            want_neg = crx.search(doc) is None
+            got = safa_n.solve(_codes(doc), native=False) is not None
+            assert got == want_neg, (rs, doc)
+            total += 1
+    assert total >= 150, total
+
+
+@pytest.mark.slow
 def test_negated_dna_200kb_within_3x_of_positive():
     """The headline `-n` scaling check (VERDICT r2 #6 Done criterion,
     200KB in-process flavor; BENCHMARKS.md records the 1MB CLI numbers):
