@@ -57,6 +57,21 @@ WORKLOADS = {
         "doc": lambda n, rng: "a" * max(0, n - 10) + " 12/25/23 x",
         "flags": [],
     },
+    # BASELINE.json config 4: projections + hybrid nlookup on a long doc
+    "proj_hybrid": {
+        "alphabet": "ascii",
+        "regex": lambda n: f"^.{{{max(0, n - 16)}}}needleinhaystack.*",
+        "doc": lambda n, rng: "h" * max(0, n - 16) + "needleinhaystack",
+        "flags": ["-p", "-y"],
+    },
+    # BASELINE.json config 5: merkle commitment + negated non-match proof
+    "merkle_negate": {
+        "alphabet": "ascii",
+        "regex": lambda n: f"^.{{{max(0, n - 24)}}}FORBIDDEN-MARKER-XYZQ.*",
+        "doc": lambda n, rng: "".join(rng.choice("abcdefgh")
+                                      for _ in range(n)),
+        "flags": ["-m", "-n"],
+    },
 }
 
 
