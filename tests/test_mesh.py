@@ -70,6 +70,7 @@ def test_sharded_sumcheck_bit_identical(mesh8, real_table):
     assert dev.next_running_q == host.next_running_q
 
 
+@pytest.mark.slowest
 def test_sharded_msm_matches_host(mesh8):
     from reef_tpu.ec.msm import pallas_kernels
     from reef_tpu.ec.pasta import PALLAS
@@ -105,6 +106,7 @@ def test_e2e_prover_with_sharded_device_sumcheck(mesh8, monkeypatch):
     assert FW.run_verifier(commit, safa, proofs, batch_size=2)
 
 
+@pytest.mark.slowest
 def test_prover_commit_path_routes_sharded_msm(mesh8, monkeypatch):
     """PedersenGens.commit routes >= DEVICE_MSM_MIN_N-point MSMs through
     parallel.mesh.sharded_msm when device MSM is on and >1 devices exist
