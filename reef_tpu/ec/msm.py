@@ -29,6 +29,26 @@ from ..ops.limb import LimbField
 from .pasta import Curve, Point
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def no_persistent_cache():
+    """Bypass jax's persistent compile cache around the big limb-op MSM
+    kernels: XLA:CPU's executable (de)serialization is broken for them —
+    cache writes can abort the process (C++ CHECK in executable.serialize)
+    and reads of successfully written entries segfault in the AOT loader
+    (observed for both the single-device window kernels and the SPMD
+    sharded kernels on jax 0.9).  They recompile per process instead;
+    the Poseidon / sumcheck executables round-trip fine and stay cached."""
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 class CurveKernels:
     """Device context for one curve (base-field limb ops + constants)."""
 

@@ -359,21 +359,25 @@ def msm_device(ck: CurveKernels, scalars: List[int], points) -> Point:
         # wedges on window kernels past n=2^13, so larger MSMs run the
         # already-compiled chunk-sized kernel repeatedly and accumulate
         # the per-window points with one batched device padd per chunk.
+        # no_persistent_cache: XLA:CPU cannot round-trip these big limb
+        # executables (cache reads segfault) — recompile per process.
         import os
+        from .msm import no_persistent_cache
         cap = int(os.environ.get("REEF_DEVICE_MSM_CHUNK", "8192"))
         cap = max(2, 1 << (cap - 1).bit_length())
-        if n <= cap:
-            accs = _msm_accs(ck, scalars, pts_dev, n)
-        else:
-            assert n % cap == 0            # both are powers of two
-            add = _accs_add_jit(ck)
-            accs_dev = None
-            for k in range(n // cap):
-                a = _msm_accs(ck, scalars[k * cap:(k + 1) * cap],
-                              pts_dev[k * cap:(k + 1) * cap], cap,
-                              as_device=True)
-                accs_dev = a if accs_dev is None else add(accs_dev, a)
-            accs = np.asarray(accs_dev)
+        with no_persistent_cache():
+            if n <= cap:
+                accs = _msm_accs(ck, scalars, pts_dev, n)
+            else:
+                assert n % cap == 0        # both are powers of two
+                add = _accs_add_jit(ck)
+                accs_dev = None
+                for k in range(n // cap):
+                    a = _msm_accs(ck, scalars[k * cap:(k + 1) * cap],
+                                  pts_dev[k * cap:(k + 1) * cap], cap,
+                                  as_device=True)
+                    accs_dev = a if accs_dev is None else add(accs_dev, a)
+                accs = np.asarray(accs_dev)
     finally:
         if use_pallas:
             _limb.mul = prev_mul

@@ -272,8 +272,13 @@ def msm_device_v3(ck: CurveKernels, scalars: List[int], points) -> Point:
     scb[:n] = scalars_to_bytes(list(scalars), ck.curve.order)
 
     kern = _kernel_jit(ck, points.cap, points.n_chunks, _use_fused())
-    accs = np.asarray(kern(
-        points.arr,
-        jnp.asarray(scb.reshape(points.n_chunks, points.cap, 32)),
-        points.ident_soa))
+    # no_persistent_cache: XLA:CPU cannot round-trip these big limb
+    # executables (cache reads segfault); the tunneled TPU's remote
+    # compiler ignores the local cache anyway
+    from .msm import no_persistent_cache
+    with no_persistent_cache():
+        accs = np.asarray(kern(
+            points.arr,
+            jnp.asarray(scb.reshape(points.n_chunks, points.cap, 32)),
+            points.ident_soa))
     return combine_windows(ck, accs)

@@ -185,32 +185,12 @@ def _sharded_msm_call(mesh: Mesh, ck, axis: str, scalars, points_dev,
     bnd_mask = np.stack(masks)
 
     fn = _sharded_msm_jit(mesh, ck, axis, n_local)
-    with _no_persistent_cache():
+    from ..ec.msm import no_persistent_cache
+    with no_persistent_cache():
         accs = np.asarray(fn(points_dev, jnp.asarray(orders),
                              jnp.asarray(bnd_idx), jnp.asarray(bnd_mask),
                              jnp.asarray(np.asarray(ck.ident))))
     return combine_windows(ck, accs)
-
-
-import contextlib
-
-
-@contextlib.contextmanager
-def _no_persistent_cache():
-    """Bypass jax's persistent compile cache for the sharded-MSM SPMD
-    executables: XLA:CPU's executable (de)serialization is broken for
-    them — cache WRITES from a worker thread abort the process (C++
-    CHECK in executable.serialize) and cache READS of successfully
-    written entries segfault in the AOT loader.  Observed on jax 0.9 /
-    the 8-virtual-device CPU mesh; these kernels recompile per process
-    instead (the sumcheck SPMD per-round jits serialize fine and stay
-    cached)."""
-    prev = jax.config.jax_compilation_cache_dir
-    try:
-        jax.config.update("jax_compilation_cache_dir", None)
-        yield
-    finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
 
 
 @functools.lru_cache(maxsize=None)
