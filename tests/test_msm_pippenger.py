@@ -18,7 +18,10 @@ from reef_tpu.ec import msm_pippenger as mp
 from reef_tpu.ec.msm import pallas_kernels
 from reef_tpu.ec.pasta import PALLAS
 
-pytestmark = pytest.mark.slow
+# slowest: the device-MSM window kernels bypass the persistent compile
+# cache (XLA:CPU cannot round-trip their executables; ec/msm.py
+# no_persistent_cache) and recompile per process
+pytestmark = [pytest.mark.slow, pytest.mark.slowest]
 
 
 def _host_msm(cv, scalars, pts):
