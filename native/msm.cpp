@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <mutex>
 #include <cstring>
 #include <thread>
 #include <chrono>
@@ -267,14 +268,16 @@ struct Curve {
 };
 
 Curve* get_curve(int curve_id) {
-  static Curve pallas, vesta;
-  static bool init_done = false;
-  if (!init_done) {
-    pallas.init(P_LIMBS);
-    vesta.init(Q_LIMBS);
-    init_done = true;
-  }
-  return curve_id == 0 ? &pallas : &vesta;
+  // C++11 magic-static: init runs exactly once, thread-safe (the verifier
+  // calls into this library from concurrent threads; a non-atomic flag
+  // could hand a caller a partially initialized curve context).
+  static Curve* curves = [] {
+    static Curve cs[2];
+    cs[0].init(P_LIMBS);
+    cs[1].init(Q_LIMBS);
+    return cs;
+  }();
+  return &curves[curve_id == 0 ? 0 : 1];
 }
 
 // ---------------------------------------------------------------------------
@@ -491,13 +494,20 @@ struct Aff52 {
 };
 
 Field52* field52_for(const Field* f64) {
+  // Thread-safe lazy map (two pasta base fields): the slot scan +
+  // one-time init run under a mutex; keys are released-published so the
+  // fast path after init never observes a partially built Field52.
   static Field52 inst[2];
-  static const Field* keys[2] = {nullptr, nullptr};
+  static std::atomic<const Field*> keys[2] = {nullptr, nullptr};
+  static std::mutex mu;
+  for (int i = 0; i < 2; i++)
+    if (keys[i].load(std::memory_order_acquire) == f64) return &inst[i];
+  std::lock_guard<std::mutex> lk(mu);
   for (int i = 0; i < 2; i++) {
-    if (keys[i] == f64) return &inst[i];
-    if (keys[i] == nullptr) {
+    if (keys[i].load(std::memory_order_relaxed) == f64) return &inst[i];
+    if (keys[i].load(std::memory_order_relaxed) == nullptr) {
       inst[i].init(*f64);
-      keys[i] = f64;
+      keys[i].store(f64, std::memory_order_release);
       return &inst[i];
     }
   }
@@ -1383,10 +1393,7 @@ void shr_limbs(u64 o[4], const u64 a[4], int k) {
   }
 }
 
-SqrtCtx* get_sqrt_ctx(const Field& f, int curve_id) {
-  static SqrtCtx ctx[2];
-  SqrtCtx& c = ctx[curve_id & 1];
-  if (c.ready) return &c;
+void init_sqrt_ctx(const Field& f, SqrtCtx& c) {
   u64 pm1[4];
   memcpy(pm1, f.c.p, 32);
   pm1[0] -= 1;  // p odd: no borrow
@@ -1416,6 +1423,16 @@ SqrtCtx* get_sqrt_ctx(const Field& f, int curve_id) {
     }
   }
   c.ready = true;
+}
+
+SqrtCtx* get_sqrt_ctx(const Field& f, int curve_id) {
+  // std::call_once: decompress/verify paths reach here from concurrent
+  // threads; the old non-atomic `ready` flag could publish a
+  // partially-initialized context.
+  static SqrtCtx ctx[2];
+  static std::once_flag flags[2];
+  SqrtCtx& c = ctx[curve_id & 1];
+  std::call_once(flags[curve_id & 1], [&] { init_sqrt_ctx(f, c); });
   return &c;
 }
 

@@ -52,10 +52,15 @@ def _absorb_setup(t: Transcript, C_w: Point, C_v: Point, R_pub: List[int],
 
 
 def _batch_inverse(xs: List[int], p: int) -> List[int]:
-    """Montgomery batch inversion: ONE pow + 3(n-1) muls."""
+    """Montgomery batch inversion: ONE pow + 3(n-1) muls.
+
+    Raises on any element ≡ 0 mod p (matching per-element pow(x,-1,p)):
+    a zero would silently poison EVERY output via the prefix product."""
     n = len(xs)
     prefix = [1] * (n + 1)
     for i, x in enumerate(xs):
+        if x % p == 0:
+            raise ValueError("_batch_inverse: element ≡ 0 mod p")
         prefix[i + 1] = prefix[i] * x % p
     inv_all = pow(prefix[n], p - 2, p)
     out = [0] * n

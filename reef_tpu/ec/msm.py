@@ -40,13 +40,30 @@ def no_persistent_cache():
     and reads of successfully written entries segfault in the AOT loader
     (observed for both the single-device window kernels and the SPMD
     sharded kernels on jax 0.9).  They recompile per process instead;
-    the Poseidon / sumcheck executables round-trip fine and stay cached."""
-    prev = jax.config.jax_compilation_cache_dir
+    the Poseidon / sumcheck executables round-trip fine and stay cached.
+
+    jax 0.9 caches the enabled/used decision in module-level singletons
+    (`compilation_cache._cache` / `_cache_used`, re-evaluated at most once
+    — see `_get_cache` / `is_cache_used`), so merely flipping the config
+    after ANY earlier compile is a no-op and writes still reach the broken
+    serializer (the round-3 segfault).  The effective sequence is: flip
+    `jax_enable_compilation_cache` AND call `reset_cache()` so the next
+    compile re-evaluates the gate; on exit flip back and reset again so
+    the cache lazily re-initializes for the kernels that round-trip fine."""
     try:
-        jax.config.update("jax_compilation_cache_dir", None)
+        from jax._src import compilation_cache as _cc
+        _reset = _cc.reset_cache
+    except Exception:  # future-jax fallback: config flip only
+        def _reset():
+            return None
+    prev = jax.config.jax_enable_compilation_cache
+    try:
+        jax.config.update("jax_enable_compilation_cache", False)
+        _reset()
         yield
     finally:
-        jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_enable_compilation_cache", prev)
+        _reset()
 
 
 class CurveKernels:
