@@ -256,12 +256,14 @@ def shared_blinding_gen(cv: Curve = PALLAS) -> Point:
 def _device_msm_mode() -> str:
     """REEF_DEVICE_MSM gate for Pedersen commits, mirroring the
     REEF_DEVICE_SUMCHECK gate: "0" = host only, "1" = force device,
-    "auto" = engage on multi-device platforms (where the sharded MSM
-    parallelizes across the mesh) and on real-TPU platforms for
-    fold-shaped sizes.  Through the tunneled single-chip axon platform the
-    per-call scalar upload (~3 MB/s) exceeds the native host MSM's whole
-    runtime, so a *tunneled* chip stays host-routed under "auto"; on a
-    locally-attached TPU set REEF_DEVICE_MSM=1 (see BENCHMARKS.md)."""
+    "auto" = engage where the device measurably wins: on any multi-device
+    accelerator platform (the sharded MSM splits the bucket work across
+    the mesh), and on a single LOCALLY-ATTACHED chip for >= min-size
+    commits (device kernel 520k pts/s vs 305k native host at fold shapes,
+    BENCHMARKS.md).  A chip behind a high-latency tunnel stays
+    host-routed under "auto" — the per-call sync+upload alone exceeds the
+    native host MSM's whole runtime (the dispatch-latency probe in
+    utils.device makes the local-vs-tunneled call once per process)."""
     import os
     return os.environ.get("REEF_DEVICE_MSM", "auto")
 
@@ -272,23 +274,18 @@ def _device_msm_on(n: Optional[int] = None) -> bool:
         return True
     if mode != "auto":
         return False
-    # auto: engage on real accelerator platforms with >1 devices (the
-    # sharded MSM splits the bucket work across the mesh; witness.py:281
-    # uses the same platform gate for the sharded sumcheck).  Virtual CPU
-    # "devices" (the test mesh) are one host — no win, so auto stays off
-    # there; tests/dryruns force with REEF_DEVICE_MSM=1.  A jax-free
-    # process stays jax-free: importing jax here cost every host-path
-    # CLI commit a 2.3s import + backend init.
-    import sys
-    if "jax" not in sys.modules:
+    # Virtual CPU "devices" (the test mesh) are one host — no win, so
+    # auto stays off there; tests/dryruns force with REEF_DEVICE_MSM=1.
+    # A jax-free process stays jax-free: importing jax here cost every
+    # host-path CLI commit a 2.3s import + backend init
+    # (device_profile() returns "cpu" without importing jax).
+    from ..utils.device import accel_device_count, device_profile
+    prof = device_profile()
+    if prof == "cpu":
         return False
-    try:
-        import jax
-        devs = jax.devices()
-        return (devs[0].platform != "cpu" and len(devs) > 1
-                and (n is None or n >= DEVICE_MSM_MIN_N))
-    except Exception:
+    if n is not None and n < DEVICE_MSM_MIN_N:
         return False
+    return accel_device_count() > 1 or prof == "local-accel"
 
 
 DEVICE_MSM_MIN_N = 256          # below this the host MSM always wins

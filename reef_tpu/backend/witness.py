@@ -252,20 +252,27 @@ class WitnessGenerator:
         return wits, result
 
     def _maybe_device_cache(self, tag: str, table):
-        """Device table cache for the sumcheck hot loop: engaged on TPU for
-        large tables (REEF_DEVICE_SUMCHECK=0 disables, =1 forces).
+        """Device table cache for the sumcheck hot loop: engaged by
+        DEFAULT ("auto") on a locally-attached TPU for large tables;
+        REEF_DEVICE_SUMCHECK=0 disables, =1 forces.
 
         The host python round loop costs ~10s/batch at 1MB docs; the device
         path is ~1s/batch once its per-shape kernels are compiled (use a
-        persistent jax compilation cache to amortize across runs)."""
+        persistent jax compilation cache to amortize across runs).
+
+        "auto" routing (utils.device.device_profile): a local chip (probed
+        dispatch latency under ~25ms) engages for tables >= 2^14; a chip
+        behind a high-latency tunnel stays host — per-round sync latency
+        would dominate the fold (BENCHMARKS.md) — as does a jax-free or
+        cpu-only process."""
         import os
-        # explicit opt-in only: on the tunneled single-chip environment the
-        # per-dispatch latency + compile-service fragility outweigh the win;
-        # on a local TPU set REEF_DEVICE_SUMCHECK=1 (or "auto" for
-        # size-gated engagement)
-        mode = os.environ.get("REEF_DEVICE_SUMCHECK", "0")
+        mode = os.environ.get("REEF_DEVICE_SUMCHECK", "auto")
         if mode == "0":
             return None
+        if mode == "auto":
+            from ..utils.device import device_profile
+            if device_profile() != "local-accel":
+                return None
         if not hasattr(self, "_dev_caches"):
             self._dev_caches = {}
         key = (tag, len(table))

@@ -109,24 +109,26 @@ def build_safa(args, ab: List[int]) -> SAFA:
 
 
 def _force_host_jax() -> None:
-    """Route any lazy jax use to host XLA unless device offload is opted in.
+    """Route any lazy jax use to host XLA on TUNNELED-plugin environments.
 
-    The image's boot hook registers the tunneled-TPU plugin with jax in
-    *every* python process, but the default prove/verify path is host-native
-    — device offload is explicit opt-in via REEF_DEVICE_SUMCHECK /
-    REEF_DEVICE_MSM (the reference likewise pays no GPU init, main.rs:18).
-    The package's own import chain is jax-free (ops/poseidon.py forwards
-    device names lazily), so the only remaining exposure is a lazy jax
-    import inside a run (e.g. the Merkle device build): pin it to the CPU
-    backend so a one-shot CLI run never dials the tunnel — a wedged tunnel
-    otherwise blocks the whole invocation.  Opt out with REEF_KEEP_AXON=1.
+    Device offload now defaults to "auto": on a locally-attached TPU the
+    prover's sumcheck + MSM engage by default (utils.device probes the
+    dispatch latency once).  But when the environment's boot hook registers
+    a tunneled-TPU PJRT plugin in *every* python process
+    (PALLAS_AXON_POOL_IPS), a one-shot CLI run must not dial the tunnel:
+    the latency probe itself can block for seconds-to-minutes on a wedged
+    tunnel, and auto would conclude "remote-accel: stay host" anyway — so
+    pin jax to the CPU backend up front unless offload is explicitly
+    opted in (REEF_DEVICE_SUMCHECK/REEF_DEVICE_MSM set, or
+    REEF_KEEP_AXON=1).  On a machine with a local chip and no tunnel
+    plugin this function is a no-op and auto engages the device.
     (JAX_PLATFORMS=cpu in the env does NOT override the plugin once
     registered; jax.config.update after import does.)"""
     env = os.environ
     if (not env.get("PALLAS_AXON_POOL_IPS")
             or env.get("REEF_KEEP_AXON")
-            or env.get("REEF_DEVICE_SUMCHECK")
-            or env.get("REEF_DEVICE_MSM")):
+            or env.get("REEF_DEVICE_SUMCHECK", "0") not in ("", "0", "auto")
+            or env.get("REEF_DEVICE_MSM", "0") not in ("", "0", "auto")):
         return
     try:
         import jax
@@ -135,9 +137,36 @@ def _force_host_jax() -> None:
         pass
 
 
+def _setup_jax_cache() -> None:
+    """Persistent XLA compile cache for device-offload runs: first-compile
+    of each kernel shape costs seconds-to-minutes (more through a tunneled
+    compile service); the on-disk cache amortizes it across processes.
+    Only engages when device offload is opted in (those runs import jax
+    regardless); host-pinned runs skip it — they compile nothing and must
+    not touch the committed test cache."""
+    env = os.environ
+    offload = (env.get("REEF_KEEP_AXON")
+               or env.get("REEF_DEVICE_SUMCHECK", "0") not in ("", "0")
+               or env.get("REEF_DEVICE_MSM", "0") not in ("", "0"))
+    if not offload:
+        return
+    try:
+        import jax
+        if jax.config.jax_compilation_cache_dir:
+            return                       # caller/app already configured one
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(root, ".jax_cache_tpu"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     real = sys.argv[1:] if argv is None else argv
     _force_host_jax()
+    _setup_jax_cache()
     if real and real[0] == "serve":
         return serve()
     try:

@@ -49,7 +49,18 @@ def no_persistent_cache():
     serializer (the round-3 segfault).  The effective sequence is: flip
     `jax_enable_compilation_cache` AND call `reset_cache()` so the next
     compile re-evaluates the gate; on exit flip back and reset again so
-    the cache lazily re-initializes for the kernels that round-trip fine."""
+    the cache lazily re-initializes for the kernels that round-trip fine.
+
+    Escape hatch: REEF_MSM_CACHE=1 makes this a no-op, i.e. the MSM
+    executables cache normally.  The CPU test/dryrun environments set it
+    (conftest.py, __graft_entry__): write+read round-trips were probed
+    clean there on jax 0.9 / XLA:CPU, and warm committed entries turn the
+    minutes-long SPMD recompiles into sub-second cache loads.  The
+    tunneled-TPU production path keeps the bypass (default)."""
+    import os
+    if os.environ.get("REEF_MSM_CACHE", "0") == "1":
+        yield
+        return
     try:
         from jax._src import compilation_cache as _cc
         _reset = _cc.reset_cache

@@ -86,7 +86,11 @@ class ShardedBasis:
         self.ck = ck
         self.mesh = mesh
         self.axis = axis
+        self.host_pts = None
         if isinstance(points, list):
+            # keep the affine host points: REEF_MESH_MSM_MAX_SPMD_CHUNKS
+            # computes tail chunks with the native host MSM (a few MB)
+            self.host_pts = points
             points = ck.to_proj(points)
         points = np.asarray(points)
         n = points.shape[0]
@@ -132,13 +136,30 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
     n = len(scalars)
     if isinstance(points, ShardedBasis):
         # chunked: full MSM = point-sum of the per-chunk MSMs; every chunk
-        # runs the SAME fixed-shape SPMD kernel
+        # runs the SAME fixed-shape SPMD kernel.
+        # REEF_MESH_MSM_MAX_SPMD_CHUNKS=K (0 = unlimited) bounds the SPMD
+        # dispatches per call: chunks >= K fall back to the native host
+        # MSM over the retained affine points (bit-identical result —
+        # the MSM is a plain point sum over disjoint chunks).  The driver
+        # dryrun uses K=1: it proves the production mesh routing on real
+        # data without paying minutes of virtual-device dispatches for
+        # work a real pod would spread across chips.
+        import os
         assert points.mesh is mesh and n <= points.n_pad
+        max_spmd = int(os.environ.get("REEF_MESH_MSM_MAX_SPMD_CHUNKS",
+                                      "0"))
         sc = list(scalars) + [0] * (points.n_pad - n)
         cap = points.cap
         nl = points.n_local
         total = None
+        host_idx: list = []
         for k in range(points.n_chunks):
+            if max_spmd and k >= max_spmd and points.host_pts is not None:
+                for d in range(ndev):
+                    base = d * nl + k * cap
+                    host_idx.extend(i for i in range(base, base + cap)
+                                    if i < n)
+                continue
             chunk_sc = []
             for d in range(ndev):
                 base = d * nl + k * cap
@@ -146,6 +167,10 @@ def sharded_msm(mesh: Mesh, ck, scalars, points, axis: str = "data"):
             r = _sharded_msm_call(mesh, ck, axis, chunk_sc,
                                   points.chunks[k], cap)
             total = r if total is None else ck.curve.add(total, r)
+        if host_idx:
+            hr = ck.curve.msm([sc[i] for i in host_idx],
+                              [points.host_pts[i] for i in host_idx])
+            total = hr if total is None else ck.curve.add(total, hr)
         return total
 
     n_local = 1 << max(0, (max(1, (n + ndev - 1) // ndev)

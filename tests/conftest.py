@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 # on this 4-core CPU mesh)
 os.environ.setdefault("REEF_MESH_MSM_CHUNK", "256")
 
+# let the device-MSM executables use the persistent compile cache on this
+# CPU platform: write+read round-trips were probed clean (jax 0.9), and the
+# committed warm entries turn the minutes-long SPMD recompiles into cache
+# loads.  (The production tunneled-TPU path keeps the bypass — ec/msm.py
+# no_persistent_cache.)
+os.environ.setdefault("REEF_MSM_CACHE", "1")
+
 import jax  # noqa: E402  (import after env setup)
 
 jax.config.update("jax_platforms", "cpu")

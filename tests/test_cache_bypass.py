@@ -22,9 +22,13 @@ def _entries(path):
     return {p.name for p in path.iterdir()}
 
 
-def test_no_persistent_cache_blocks_writes_after_init(tmp_path):
+def test_no_persistent_cache_blocks_writes_after_init(tmp_path, monkeypatch):
     from jax._src import compilation_cache as cc
     from reef_tpu.ec.msm import no_persistent_cache
+
+    # conftest enables the REEF_MSM_CACHE escape hatch for the suite; this
+    # test checks the bypass itself, so force it active
+    monkeypatch.setenv("REEF_MSM_CACHE", "0")
 
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
