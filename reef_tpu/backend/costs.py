@@ -46,9 +46,12 @@ def get_padding(solution_len: int, batch_size: int) -> int:
     return eps + 1
 
 
-def lookup_idxs_cost(n_states: int, batch_size: int) -> int:
+def lookup_idxs_cost(n_states: int, batch_size: int,
+                     num_chars: int = 1 << 8) -> int:
     bit_limit = logmn(n_states) + 1
-    return bit_limit * (2 * batch_size + 1) + bit_limit * 3 + 5
+    cbits = logmn(num_chars) + 2     # char_lo <= char <= char_hi checks
+    return (bit_limit * (2 * batch_size + 1) + bit_limit * 3 + 5
+            + 2 * cbits * batch_size)
 
 
 def nl_nohash(batch_size: int, table_size: int) -> int:
@@ -121,10 +124,10 @@ def stack_circuit_cost(n_states: int, doc_len: int, max_branches: int,
 def full_round_cost_model(num_states: int, num_edges: int, batch_size: int,
                           doc_len: int, hybrid: bool, hybrid_len,
                           project: bool, max_offset: int, max_branches: int,
-                          max_stack: int) -> int:
+                          max_stack: int, num_chars: int = 1 << 8) -> int:
     dlen_pow2 = next_power_of_two(doc_len)
     safa_pow2 = next_power_of_two(num_edges)
-    lookup_cost = lookup_idxs_cost(num_states, batch_size)
+    lookup_cost = lookup_idxs_cost(num_states, batch_size, num_chars)
     if hybrid:
         total = nl_doc(batch_size * 2, hybrid_len, hybrid, project) + lookup_cost
     else:
@@ -148,7 +151,7 @@ def get_folded_cost(cost: int, solution_lens, batch_size: int) -> int:
 def opt_cost_model_select(num_states: int, num_edges: int, doc_len: int,
                           hybrid: bool, hybrid_len, project: bool,
                           max_offset: int, max_branches: int, max_stack: int,
-                          solution_lens) -> int:
+                          solution_lens, num_chars: int = 1 << 8) -> int:
     """Minimize folded cost over batch sizes 2..sum(paths) (costs.rs:207-244).
 
     Batch size 1 is excluded: the reference asserts batch > 1 (r1cs.rs:515).
@@ -160,7 +163,7 @@ def opt_cost_model_select(num_states: int, num_edges: int, doc_len: int,
     for n in range(2, max_fold + 1):
         c = full_round_cost_model(num_states, num_edges, n, doc_len, hybrid,
                                   hybrid_len, project, max_offset,
-                                  max_branches, max_stack)
+                                  max_branches, max_stack, num_chars)
         fc = get_folded_cost(c, solution_lens, n)
         if best_cost is None or fc < best_cost:
             best_cost, best_batch = fc, n

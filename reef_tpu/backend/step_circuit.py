@@ -131,6 +131,8 @@ class StepCircuit:
         salt = cs.input("hash_salt")
 
         chars = [cs.input(f"char_{i}") for i in range(bs)]
+        char_los = [cs.input(f"char_lo_{i}") for i in range(bs)]
+        char_his = [cs.input(f"char_hi_{i}") for i in range(bs)]
         states = [state0] + [cs.input(f"state_{i+1}") for i in range(bs)]
         lowers = [cs.input(f"lower_offset_{i}") for i in range(bs)]
         uppers = [cs.input(f"upper_offset_{i}") for i in range(bs)]
@@ -202,15 +204,25 @@ class StepCircuit:
             cs.assert_true(cs.or_(small, cycle))
 
         # ---------------- lookup encodings + range checks -----------------
+        # Rows carry a char RANGE [char_lo, char_hi] (width 1 for per-char
+        # edges; real ranges for full-unicode derivative-class edges): the
+        # doc-bound char must fall inside the looked-up row's range —
+        # char_lo <= char <= char_hi, checked by bit decomposition (the
+        # differences are < C when honest; a dishonest witness wraps mod p
+        # into a >cbits-bit value and fails the decomposition).
         bit_limit = logmn(S) + 1
+        cbits = logmn(C) + 2
         vs: List[LC] = []
         for i in range(bs):
             cs.assert_geq(lc_const(S), states[i], bit_limit, f"st_rng_{i}")
+            cs.assert_geq(chars[i], char_los[i], cbits, f"ch_lo_{i}")
+            cs.assert_geq(char_his[i], chars[i], cbits, f"ch_hi_{i}")
             v_i = lc_add(
-                lc_scale(rels[i], S * S * C * O * O),
-                lc_scale(states[i], S * C * O * O),
-                lc_scale(states[i + 1], C * O * O),
-                lc_scale(chars[i], O * O),
+                lc_scale(rels[i], S * S * C * C * O * O),
+                lc_scale(states[i], S * C * C * O * O),
+                lc_scale(states[i + 1], C * C * O * O),
+                lc_scale(char_los[i], C * O * O),
+                lc_scale(char_his[i], O * O),
                 lc_scale(lowers[i], O),
                 uppers[i],
             )

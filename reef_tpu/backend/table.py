@@ -7,10 +7,16 @@ Re-implements the table-generation half of the reference's R1CS::new
 
 Each table row encodes one legal transition as the mixed-radix value
 
-    v = rel*S^2*C*O^2 + in*S*C*O^2 + out*C*O^2 + char*O^2 + lo*O + hi
+    v = rel*S^2*C^2*O^2 + in*S*C^2*O^2 + out*C^2*O^2
+        + char_lo*C*O^2 + char_hi*O^2 + lo*O + hi
 
 with S = num_states (SAFA nodes + kid-padding sentinel + exit state),
-C = |alphabet| + 2 (EPSILON, EOF codes), O = max_offsets.  rel codes:
+C = |alphabet| + 2 (EPSILON, EOF codes; 0x110002 for the full-unicode
+alphabet), O = max_offsets.  Per-char edges carry char_lo == char_hi;
+full-unicode derivative-CLASS edges carry a whole codepoint range per row,
+range-checked in-circuit against the doc char (the reference's per-char
+edge model cannot enumerate unicode; the encoding generalizes it — a
+per-char row is just a width-1 range).  rel codes:
 0 normal, 1 transition (accepting -> forall/exit after EOF), 2 out-state
 accepting, 3 forall pop branch, >=4 forall push with the kid list hashed in
 base S (r1cs_helper.rs:362-405).
@@ -27,7 +33,7 @@ the table with this same code):
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple  # noqa: F401
 
 from ..frontend.safa import SAFA
 from . import costs
@@ -61,13 +67,40 @@ def _has_cycle(edges) -> bool:
     return seen != len(nodes)
 
 
-def make_num_ab(ab_codes: List[int]) -> Tuple[Dict[int, int], int, int, int]:
+class _UnicodeAB:
+    """Identity codepoint -> index map for the full-unicode alphabet
+    (the alphabet is never enumerated; indices ARE codepoints), with the
+    reference's chr(26)-is-EOF quirk mirrored."""
+
+    def __init__(self, n: int, eof_code: int):
+        self.n = n
+        self._eof = eof_code
+
+    def __contains__(self, c: int) -> bool:
+        return 0 <= c < self.n
+
+    def __getitem__(self, c: int) -> int:
+        if c == EOF_CHAR:
+            return self._eof
+        if not (0 <= c < self.n):
+            raise KeyError(c)
+        return c
+
+
+def make_num_ab(ab_codes: Optional[List[int]]
+                ) -> Tuple[Dict[int, int], int, int, int]:
     """codepoint -> char index map, plus (eps_code, eof_code, num_chars).
 
     Mirrors r1cs.rs:92-99 including the quirks: index |ab| is unused
     (EPSILON = |ab|+1, EOF = |ab|+2), num_chars = |ab|+2, and chr(26) in the
-    alphabet is overridden to the EOF code.
+    alphabet is overridden to the EOF code.  ab_codes=None selects the
+    full-unicode alphabet (identity map over 0..0x10FFFF).
     """
+    if ab_codes is None:
+        n = 0x110000
+        eps_code = n + 1
+        eof_code = n + 2
+        return _UnicodeAB(n, eof_code), eps_code, eof_code, n + 2
     num_ab = {}
     for i, c in enumerate(ab_codes):
         num_ab[c] = i
@@ -79,8 +112,10 @@ def make_num_ab(ab_codes: List[int]) -> Tuple[Dict[int, int], int, int, int]:
     return num_ab, eps_code, eof_code, num_chars
 
 
-def doc_transform(ab_codes: List[int], doc: List[int]) -> List[int]:
-    """Document chars -> usize codes + EOF + EPSILON, zero-padded to 2^k."""
+def doc_transform(ab_codes: Optional[List[int]],
+                  doc: List[int]) -> List[int]:
+    """Document chars -> usize codes + EOF + EPSILON, zero-padded to 2^k.
+    ab_codes=None: the full-unicode alphabet (codes are codepoints)."""
     num_ab, eps_code, eof_code, _ = make_num_ab(ab_codes)
     udoc = []
     for c in doc:
@@ -147,7 +182,8 @@ class TransitionTable:
             self.batch_size = costs.opt_cost_model_select(
                 safa.num_states(), safa.num_edges(), udoc_len, hybrid,
                 self.hybrid_len, projection is not None, self.max_offsets,
-                self.max_branches, self.max_stack, self.path_lens)
+                self.max_branches, self.max_stack, self.path_lens,
+                self.num_chars)
         else:
             self.batch_size = batch_size
         assert self.batch_size > 1
@@ -159,11 +195,12 @@ class TransitionTable:
 
     # ------------------------------------------------------------------
 
-    def encode(self, rel: int, in_state: int, out_state: int, c: int,
-               lo: int, hi: int) -> int:
+    def encode(self, rel: int, in_state: int, out_state: int, c_lo: int,
+               c_hi: int, lo: int, hi: int) -> int:
         S, C, O = self.num_states, self.num_chars, self.max_offsets
-        return (rel * S * S * C * O * O + in_state * S * C * O * O
-                + out_state * C * O * O + c * O * O + lo * O + hi)
+        return (rel * S * S * C * C * O * O + in_state * S * C * C * O * O
+                + out_state * C * C * O * O + c_lo * C * O * O
+                + c_hi * O * O + lo * O + hi)
 
     def calc_rel(self, in_state: int, out_state: int, children: List[int],
                  trans: bool) -> int:
@@ -243,7 +280,14 @@ class TransitionTable:
                     rel = self.calc_rel(state, dst, children, False)
                     if lbl[0] == "c":
                         c = self.num_ab[lbl[1]]
-                        rows.add(self.encode(rel, state, dst, c, 1, 1))
+                        rows.add(self.encode(rel, state, dst, c, c, 1, 1))
+                        if dst in in_sub:
+                            char_edges.append((state, dst))
+                    elif lbl[0] == "r":
+                        for a, b in lbl[1].ranges:
+                            assert b is not None, "char classes are closed"
+                            rows.add(self.encode(rel, state, dst, a, b,
+                                                 1, 1))
                         if dst in in_sub:
                             char_edges.append((state, dst))
                     else:
@@ -251,16 +295,18 @@ class TransitionTable:
                             has_skip = True        # document jumps
                         for lo, hi in self._skip_rows(lbl[1]):
                             rows.add(self.encode(rel, state, dst,
+                                                 self.eps_code,
                                                  self.eps_code, lo, hi))
             if state in safa.accepting:
                 # backtrace after EOF (pop to forall, or finish at exit)
                 rel = self.calc_rel(state, backtrace_state, children, True)
                 rows.add(self.encode(rel, state, backtrace_state,
-                                     self.eof_code, 0, 0))
+                                     self.eof_code, self.eof_code, 0, 0))
                 if also_exit and backtrace_state != self.exit_state:
                     rows.add(self.encode(
                         self.calc_rel(state, self.exit_state, children, True),
-                        state, self.exit_state, self.eof_code, 0, 0))
+                        state, self.exit_state, self.eof_code,
+                        self.eof_code, 0, 0))
         if not has_skip and _has_cycle(char_edges):
             return max(len(order) + 1, self.udoc_len + 1)
         return len(order) + 1
@@ -280,11 +326,13 @@ class TransitionTable:
                 self.foralls_w_kids[state] = kids
                 rel = self.calc_rel(state, state, kids, False)
                 max_rel = max(max_rel, rel)
-                rows.add(self.encode(rel, state, state, self.eps_code, 0, 0))
+                rows.add(self.encode(rel, state, state, self.eps_code,
+                                     self.eps_code, 0, 0))
                 for kid in kids:
                     rel = self.calc_rel(state, kid, kids, False)
                     max_rel = max(max_rel, rel)
-                    rows.add(self.encode(rel, state, kid, self.eps_code, 0, 0))
+                    rows.add(self.encode(rel, state, kid, self.eps_code,
+                                         self.eps_code, 0, 0))
 
         # pass 2: per-kid subgraph paths (backtrace to their forall + exit)
         self.path_lens: List[int] = []
@@ -302,14 +350,15 @@ class TransitionTable:
 
         # exit-state EOF self-loop
         rows.add(self.encode(0, self.exit_state, self.exit_state,
-                             self.eof_code, 0, 0))
+                             self.eof_code, self.eof_code, 0, 0))
 
         table = sorted(rows)
         self.max_rel = max_rel
         # pad to a power of two with an out-of-range fill value
         S, C, O = self.num_states, self.num_chars, self.max_offsets
-        calc_fill = (max_rel * S * S * C * O * O + S * S * C * O * O
-                     + S * C * O * O + C * O * O + O * O + O)
+        calc_fill = (max_rel * S * S * C * C * O * O + S * S * C * C * O * O
+                     + S * C * C * O * O + C * C * O * O + C * O * O
+                     + O * O + O)
         while len(table) < (1 << costs.logmn(len(table))):
             table.append(calc_fill)
         self.table = table

@@ -48,7 +48,7 @@ class WitnessGenerator:
         """(lo, hi) for a trace element (edge_v's window selection,
         r1cs.rs:1774-1840)."""
         tt = self.tt
-        if el.is_char:
+        if el.consumes:
             return 1, 1
         skip = el.edge[1]
         offs = el.to_cur - el.from_cur
@@ -95,8 +95,15 @@ class WitnessGenerator:
         cursor_popped = cursor_0
         did_stack_op = False
 
-        def put_row(i, char_num, s, s2, lo, hi, offset, rel, cur_after):
+        def put_row(i, char_num, s, s2, lo, hi, offset, rel, cur_after,
+                    c_lo=None, c_hi=None):
+            """c_lo/c_hi: the matched row's char-class bounds; default the
+            exact char (per-char edges + EOF/EPSILON rows)."""
+            if c_lo is None:
+                c_lo = c_hi = char_num
             wits[f"char_{i}"] = char_num
+            wits[f"char_lo_{i}"] = c_lo
+            wits[f"char_hi_{i}"] = c_hi
             wits[f"state_{i+1}"] = s2
             if i == 0:
                 wits.setdefault("state_0", s)
@@ -105,10 +112,10 @@ class WitnessGenerator:
             wits[f"offset_{i}"] = offset
             wits[f"rel_{i}"] = rel
             wits[f"cursor_{i+1}"] = cur_after
-            v = tt.encode(rel, s, s2, char_num, lo, hi)
+            v = tt.encode(rel, s, s2, c_lo, c_hi, lo, hi)
             assert v in tt.row_index, (
                 f"row not in table: rel={rel} {s}->{s2} c={char_num} "
-                f"lo={lo} hi={hi}")
+                f"[{c_lo},{c_hi}] lo={lo} hi={hi}")
             rows_v.append(v)
             rows_q.append(tt.row_index[v])
 
@@ -172,7 +179,20 @@ class WitnessGenerator:
                     cursor_i = pc
 
             sols[self.sol_num].pop(0)
-            char_num = (tt.num_ab[te.edge[1]] if te.is_char else tt.eps_code)
+            c_lo = c_hi = None
+            if te.is_char:
+                char_num = tt.num_ab[te.edge[1]]
+            elif te.is_class:
+                # range-class edge: the consumed char comes from the doc;
+                # the row is the class range containing it
+                char_num = tt.udoc[cursor_i]
+                for a, b in te.edge[1].ranges:
+                    if a <= char_num <= (b if b is not None else char_num):
+                        c_lo, c_hi = a, b
+                        break
+                assert c_lo is not None, "consumed char outside edge class"
+            else:
+                char_num = tt.eps_code
             cursor_access.append(tt.ep_num if char_num == tt.eps_code
                                  else cursor_i)
             state_i = te.from_node
@@ -181,7 +201,8 @@ class WitnessGenerator:
             cursor_i += offset
             lo, hi = self._edge_window(te)
             put_row(i, char_num, state_i, next_state, lo, hi, offset,
-                    self._rel_for(state_i, next_state, False), cursor_i)
+                    self._rel_for(state_i, next_state, False), cursor_i,
+                    c_lo, c_hi)
             i += 1
             state_i = next_state
 

@@ -20,7 +20,7 @@ import hashlib
 import os
 import sys
 import time
-from typing import List
+from typing import List, Optional
 
 from .backend import framework as FW
 from .frontend import parser as rparser
@@ -34,12 +34,12 @@ def build_alphabet(args) -> List[int]:
     if args.alphabet == "ascii":
         ab = list(range(128))
     elif args.alphabet == "utf8":
-        # the reference nominally uses all of unicode (config.rs:253-263),
-        # which is intractable for per-char derivative edges.  The practical
-        # utf8 alphabet here is fixed (regex-independent, so commitments
-        # stay reusable across regexes): whitespace + printable ASCII +
-        # Latin-1 supplement.
-        ab = sorted({9, 10, 13} | set(range(32, 127)) | set(range(160, 256)))
+        # FULL unicode (config.rs:253-263 semantics): the alphabet is not
+        # enumerated — consuming SAFA edges are range-compressed
+        # derivative classes and table rows carry (char_lo, char_hi)
+        # codepoint ranges checked in-circuit (frontend/safa.py
+        # _add_derivatives, backend/table.py).
+        ab = None
     elif args.alphabet == "snort":
         # mirrors the reference's stub: Config::Snort returns an empty
         # alphabet with a TODO (config.rs:104-110, 429, 438)
@@ -50,6 +50,12 @@ def build_alphabet(args) -> List[int]:
     else:
         raise ValueError(args.alphabet)
 
+    if ab is None:
+        assert not (args.alpha_numeric or getattr(args, "basic_english",
+                                                  False)
+                    or args.ignore_whitespace or args.case_insensitive), \
+            "char transforms apply to enumerated alphabets (ascii/dna)"
+        return ab
     if args.alpha_numeric:
         keep = set(range(ord("a"), ord("z") + 1)) | \
             set(range(ord("A"), ord("Z") + 1)) | \
@@ -99,9 +105,9 @@ def artifact_names(args):
     return cmt, key, proof
 
 
-def build_safa(args, ab: List[int]) -> SAFA:
+def build_safa(args, ab: Optional[List[int]]) -> SAFA:
     r = R.simpl(rparser.parse(args.re))
-    ab_str = "".join(chr(c) for c in ab)
+    ab_str = None if ab is None else "".join(chr(c) for c in ab)
     safa = SAFA(ab_str, r)
     if args.negate:
         safa = safa.negate()

@@ -492,3 +492,59 @@ def extract_skip(r: Regex) -> Optional[Tuple[OpenSet, Regex]]:
 
 def accepts_any(r: Regex, ab) -> bool:
     return all(nullable(deriv(r, c)) for c in ab)
+
+
+# ---------------------------------------------------------------------------
+# derivative classes (range-compressed edges for non-enumerable alphabets)
+# ---------------------------------------------------------------------------
+
+MAX_CODEPOINT = 0x10FFFF
+
+_BOUNDS_CACHE: dict = {}
+
+
+def _char_boundaries(r: Regex) -> frozenset:
+    """Codepoints where deriv(r, ·) can change: the start of every range of
+    every CharClass in r, plus one-past-the-end of every closed range
+    (Owens–Reppy–Turon derivative classes: between consecutive boundaries
+    every class-membership test — the only way a char enters deriv — is
+    constant)."""
+    got = _BOUNDS_CACHE.get(r.uid)
+    if got is not None:
+        return got
+    t = r.tag
+    if t == CHARCLASS:
+        bs = set()
+        for a, b in r.cc.ranges:
+            bs.add(a)
+            if b is not None:
+                bs.add(b + 1)
+        out = frozenset(bs)
+    elif t in (NIL, DOT):
+        out = frozenset()
+    elif t in (APP, ALT, AND):
+        out = _char_boundaries(r.a) | _char_boundaries(r.b)
+    elif t in (STAR, RANGE):
+        out = _char_boundaries(r.a)
+    else:
+        raise AssertionError
+    _BOUNDS_CACHE[r.uid] = out
+    return out
+
+
+def deriv_classes(r: Regex, max_cp: int = MAX_CODEPOINT):
+    """Partition [0, max_cp] into maximal ranges with constant derivative:
+    yields (lo, hi, deriv) with derivs hash-consed (adjacent cells whose
+    derivatives intern to the same node are merged).  The alphabet is
+    never enumerated — the partition size is bounded by the number of
+    distinct range endpoints in r's char classes."""
+    cuts = sorted({0, max_cp + 1}
+                  | {b for b in _char_boundaries(r) if 0 < b <= max_cp})
+    out = []
+    for lo, nxt in zip(cuts, cuts[1:]):
+        d = deriv(r, lo)
+        if out and out[-1][2] is d and out[-1][1] + 1 == lo:
+            out[-1] = (out[-1][0], nxt - 1, d)
+        else:
+            out.append((lo, nxt - 1, d))
+    return out

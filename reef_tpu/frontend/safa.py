@@ -25,18 +25,26 @@ from typing import Dict, List, Optional, Set, Tuple
 from . import regex as R
 from .openset import OpenSet
 from .quantifier import Quant
-from .trace import Trace, TraceElem, char_edge, epsilon, skip_edge
+from .trace import (Trace, TraceElem, char_edge, class_edge, epsilon,
+                    skip_edge)
 
-Edge = Tuple[str, object]  # ("c", codepoint) | ("s", OpenSet)
+Edge = Tuple[str, object]  # ("c", cp) | ("r", OpenSet) | ("s", OpenSet)
 
 
 class SAFA:
-    def __init__(self, alphabet: str, regex: R.Regex, _build: bool = True,
+    def __init__(self, alphabet, regex: R.Regex, _build: bool = True,
                  use_skips: bool = True, dual: bool = False):
         """use_skips=False builds the pure derivative automaton (no skip
         edges); dual=True complements: quantifiers at forks swap and
-        acceptance flips to non-nullable — see negate()."""
-        self.ab: List[int] = sorted(ord(c) for c in set(alphabet))
+        acceptance flips to non-nullable — see negate().
+
+        alphabet: a string of chars (enumerated alphabet, per-char
+        derivative edges — the reference's model) or None for the FULL
+        UNICODE alphabet (config.rs:253-263 semantics): consuming edges are
+        then range-compressed derivative CLASSES (("r", OpenSet) labels)
+        and the alphabet is never enumerated."""
+        self.ab = (None if alphabet is None
+                   else sorted(ord(c) for c in set(alphabet)))
         self.nodes: List[Quant] = []
         # edges stored per-source in insertion order: (dst, label)
         self.out_edges: List[List[Tuple[int, Edge]]] = []
@@ -134,8 +142,11 @@ class SAFA:
             self.out_edges.append([(dead, epsilon())])
             eof = len(self.nodes)
             self.nodes.append(Quant(R.nil(), False))
-            self.out_edges.append([(eof, epsilon())]
-                                  + [(dead, char_edge(c)) for c in self.ab])
+            consuming = ([(dead, class_edge(
+                OpenSet.closed(0, R.MAX_CODEPOINT)))]
+                if self.ab is None
+                else [(dead, char_edge(c)) for c in self.ab])
+            self.out_edges.append([(eof, epsilon())] + consuming)
             self.accepting.add(eof)
             self._eof_node = eof
         return self._eof_node
@@ -143,6 +154,16 @@ class SAFA:
     def _add_derivatives(self, frm: int):
         self._add_edge(frm, frm, epsilon())  # self ε-loop (safa.rs:150)
         r = self.nodes[frm].get()
+        if self.ab is None:
+            # full-unicode: one range-compressed edge per derivative class
+            for lo, hi, q_c in R.deriv_classes(r):
+                recurse = not self.exists(q_c, False)
+                n_c = self.find_or_add(q_c, False)
+                self._add_edge(frm, n_c,
+                               class_edge(OpenSet.closed(lo, hi)))
+                if recurse:
+                    self._add(n_c)
+            return
         for c in self.ab:
             q_c = R.deriv(r, c)
             recurse = not self.exists(q_c, False)
@@ -341,7 +362,8 @@ class SAFA:
         state space and the build may not terminate in reasonable time —
         in the positive automaton too; this is a property of counted-
         repeat expansion, not of negation."""
-        ab_str = "".join(chr(c) for c in self.ab)
+        ab_str = (None if self.ab is None
+                  else "".join(chr(c) for c in self.ab))
         return SAFA(ab_str, self.to_regex(), use_skips=True,
                     dual=not self._dual)
 
@@ -355,6 +377,8 @@ class SAFA:
         large documents and falls back to Python."""
         if native is None:
             native = len(doc) > 4096
+        if self.ab is None:
+            native = False      # native solver speaks per-char edges only
         if native:
             try:
                 from .native_solver import solve_native
@@ -371,10 +395,11 @@ class SAFA:
 
     def _solve_edge(self, lbl: Edge, frm: int, to: int, i: int,
                     doc: List[int], memo) -> Optional[Trace]:
-        if lbl[0] == "c":
+        if lbl[0] in ("c", "r"):
             if self.is_sink(to):
                 return None
-            if lbl[1] == doc[i]:
+            if (lbl[1] == doc[i] if lbl[0] == "c"
+                    else lbl[1].contains(doc[i])):
                 tail = self._solve_rec(to, i + 1, doc, memo)
                 if tail is None:
                     return None
@@ -458,6 +483,8 @@ def write_dot(safa: SAFA, filename: str) -> str:
         for dst, lbl in safa.out_edges[src]:
             if lbl[0] == "c":
                 text = chr(lbl[1]) if 32 <= lbl[1] < 127 else hex(lbl[1])
+            elif lbl[0] == "r":
+                text = "r" + repr(lbl[1])
             else:
                 text = repr(lbl[1])
             text = text.replace('"', "'")

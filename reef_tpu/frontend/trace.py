@@ -2,7 +2,10 @@
 
 A TraceElem records one edge taken: (from_node, edge, to_node, from_cur,
 to_cur).  Edges are the SAFA edge labels: ("c", codepoint) for a character
-step or ("s", OpenSet) for a skip/epsilon step.
+step, ("r", OpenSet-of-codepoints) for a char-CLASS step (full-unicode
+alphabets compress the per-char derivative edges into ranges; the table
+encodes them as (char_lo, char_hi) rows with an in-circuit range check),
+or ("s", OpenSet) for a skip/epsilon step.
 """
 
 from __future__ import annotations
@@ -26,6 +29,15 @@ class TraceElem:
         return self.edge[0] == "c"
 
     @property
+    def is_class(self) -> bool:
+        return self.edge[0] == "r"
+
+    @property
+    def consumes(self) -> bool:
+        """True for edges that consume exactly one document char."""
+        return self.edge[0] in ("c", "r")
+
+    @property
     def is_skip(self) -> bool:
         return self.edge[0] == "s"
 
@@ -47,6 +59,11 @@ Trace = List[TraceElem]
 
 def char_edge(c: int) -> Tuple[str, int]:
     return ("c", c)
+
+
+def class_edge(cc: OpenSet) -> Tuple[str, OpenSet]:
+    """One consuming edge for a whole derivative class (range-compressed)."""
+    return ("r", cc)
 
 
 def skip_edge(s: OpenSet) -> Tuple[str, OpenSet]:

@@ -49,14 +49,15 @@ def test_table_contains_trace_rows():
                 rel = tt.calc_rel(s, d, kids, False)
                 if el.is_char:
                     c = tt.num_ab[el.edge[1]]
-                    row = tt.encode(rel, s, d, c, 1, 1)
+                    row = tt.encode(rel, s, d, c, c, 1, 1)
                     assert row in tt.row_index, (rstr, el)
                 # skip rows: at least one (lo,hi) window covers the offset
                 else:
                     offs = el.to_cur - el.from_cur
                     found = False
                     for lo, hi in tt._skip_rows(el.edge[1]):
-                        row = tt.encode(rel, s, d, tt.eps_code, lo, hi)
+                        row = tt.encode(rel, s, d, tt.eps_code, tt.eps_code,
+                                        lo, hi)
                         if row in tt.row_index:
                             real_hi = (1 << 62) if hi == tt.star_offset else hi
                             if lo <= offs <= real_hi:
@@ -64,12 +65,13 @@ def test_table_contains_trace_rows():
                     assert found, (rstr, el)
         # transition rows: accepting -> exit always present
         for a in safa.accepting:
-            row = tt.encode(1, a, tt.exit_state, tt.eof_code, 0, 0)
+            row = tt.encode(1, a, tt.exit_state, tt.eof_code, tt.eof_code,
+                            0, 0)
             if a in {el.to_node for sol in sols for el in sol} | {0}:
                 assert row in tt.row_index
         # exit loop row
-        assert tt.encode(0, tt.exit_state, tt.exit_state, tt.eof_code, 0, 0) \
-            in tt.row_index
+        assert tt.encode(0, tt.exit_state, tt.exit_state, tt.eof_code,
+                         tt.eof_code, 0, 0) in tt.row_index
 
 
 def test_power_of_two_padding():
