@@ -30,7 +30,10 @@ def _sync(x):
     return np.asarray(x)
 
 
-def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
+def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, kernel="auto"):
+    """kernel: "auto" = the production dispatch (poseidon_device.permute —
+    fused-pallas on TPU at this batch), "mxu" = the XLA MXU-MDS kernel,
+    "fused" = ops.poseidon_pallas directly."""
     import jax
     import numpy as np
     from reef_tpu.ops import limb, poseidon, poseidon_mxu
@@ -38,12 +41,18 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
     lf = limb.FQ
     t = 5
     on_tpu = jax.devices()[0].platform == "tpu"
-    if use_pallas and on_tpu:
+    if use_pallas and kernel == "mxu" and on_tpu:
         from reef_tpu.ops import pallas_field
         pallas_field.enable(threshold=4096)
     base = lf.encode_host(list(range(1, t * 8 + 1))).reshape(8, t, limb.N)
     state = jax.numpy.asarray(np.tile(base, (batch // 8, 1, 1)))
-    perm = poseidon_mxu.permute if mxu else poseidon.permute
+    if kernel == "mxu":
+        perm = poseidon_mxu.permute
+    elif kernel == "fused":
+        from reef_tpu.ops import poseidon_pallas
+        perm = poseidon_pallas.permute
+    else:
+        perm = poseidon.permute
     fn = jax.jit(lambda s: perm(lf, s, t))
     out = fn(state)
     _sync(out)
@@ -57,7 +66,7 @@ def bench_poseidon(batch=1 << 14, iters=10, use_pallas=True, mxu=True):
         _sync(out[0, 0, 0])
         dt = (time.time() - t0) / iters
         best = dt if best is None else min(best, dt)
-    if use_pallas and on_tpu:
+    if use_pallas and kernel == "mxu" and on_tpu:
         from reef_tpu.ops import pallas_field
         pallas_field.disable()
     return batch / best

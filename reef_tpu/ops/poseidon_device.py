@@ -41,9 +41,25 @@ def _device_consts(lf: LimbField, t: int):
 
 
 def permute(lf: LimbField, state, t: int | None = None):
-    """Poseidon permutation, batched: state (..., t, N_LIMBS) Montgomery."""
+    """Poseidon permutation, batched: state (..., t, N_LIMBS) Montgomery.
+
+    On TPU with batches >= one pallas block (1024), dispatches to the
+    fully-fused VMEM-resident kernel (ops/poseidon_pallas.py: all rounds
+    on-chip, limbs-major S-boxes, MXU MDS) — measured ~5x this scan
+    formulation and bit-identical.  Small batches (the per-fold FS
+    sponges) keep the scan: block padding would waste >90% of the lanes.
+    """
     if t is None:
         t = state.shape[-2]
+    import numpy as _np
+    B = int(_np.prod(state.shape[:-2])) if state.shape[:-2] else 1
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if on_tpu and B >= 1024 and t in PARTIAL_ROUNDS:
+        from . import poseidon_pallas
+        return poseidon_pallas.permute(lf, state, t)
     rc, mds, is_full = _device_consts(lf, t)
     rc = jnp.asarray(rc)
     mds = jnp.asarray(mds)

@@ -135,8 +135,33 @@ def verify_e2e_offload():
         f"({time.time() - t0:.1f}s)")
 
 
+def verify_poseidon_pallas(B=2048):
+    """Fused-pallas Poseidon vs the python-int host permutation oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+    from reef_tpu.ops import limb, poseidon_pallas
+    from reef_tpu.ops.limb import FQ as lf
+    from reef_tpu.ops.poseidon_constants import host_permutation
+
+    t = 5
+    rng = random.Random(11)
+    vals = [rng.randrange(lf.p_int) for _ in range(B * t)]
+    state = jnp.asarray(lf.encode(vals).reshape(B, t, limb.N))
+    t0 = time.time()
+    got = np.asarray(poseidon_pallas.permute_jit(lf, state, t))
+    dt = time.time() - t0
+    # host oracle on a sample of rows (python-int permutation)
+    for row in (0, 1, B // 2, B - 1):
+        want = host_permutation(lf.host.p, vals[row * t:(row + 1) * t])
+        got_row = lf.decode(got[row])
+        assert got_row == want, f"pallas poseidon row {row} mismatch"
+    log(f"PASS fused-pallas Poseidon B={B} vs host oracle "
+        f"({dt:.1f}s incl. compile)")
+
+
 if __name__ == "__main__":
     plat = check_platform()
+    verify_poseidon_pallas()
     verify_device_sumcheck()
     verify_device_msm()
     verify_device_msm_v3()
