@@ -229,7 +229,11 @@ def bench_e2e_warm(doc_kb=1, iters=2, device=False):
 
     if device:
         env = dict(os.environ)
-        env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+        # PREPEND the repo root: replacing PYTHONPATH would drop the
+        # plugin's sitecustomize dir (e.g. /root/.axon_site) and the
+        # worker then dies on JAX_PLATFORMS naming an unregistered backend
+        env["PYTHONPATH"] = (os.path.dirname(os.path.abspath(__file__))
+                             + os.pathsep + env.get("PYTHONPATH", ""))
         env["REEF_DEVICE_MSM"] = "1"
         env["REEF_DEVICE_SUMCHECK"] = "1"
         env["REEF_KEEP_AXON"] = "1"

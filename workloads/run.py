@@ -64,6 +64,15 @@ WORKLOADS = {
         "doc": lambda n, rng: "h" * max(0, n - 16) + "needleinhaystack",
         "flags": ["-p", "-y"],
     },
+    # full-unicode utf8 (config.rs:253-263 semantics): CJK + accented
+    # codepoints, range-class derivative edges, no alphabet enumeration
+    "unicode": {
+        "alphabet": "utf8",
+        "regex": lambda n: "café.*世界",
+        "doc": lambda n, rng: ("naïve " * max(1, n // 12))[:max(0, n - 12)]
+        + "café — 世界",
+        "flags": [],
+    },
     # BASELINE.json config 5: merkle commitment + negated non-match proof
     "merkle_negate": {
         "alphabet": "ascii",
