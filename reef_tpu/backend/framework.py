@@ -366,26 +366,46 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
         raise fold_err[0]
     mt.stop("Solver", "fa_solver+wit")
 
+    # The consistency/CAP proofs depend only on the final doc claim (not on
+    # compress), and both sides bottom out in GIL-releasing native MSMs —
+    # run them CONCURRENTLY with the CompressedSNARK (the reference runs
+    # them serially, framework.rs:695-754; the overlap shaves most of the
+    # consistency wall off the warm prove).
+    consist_box: list = [None, None, None]   # consist, cap, error
+
+    def _consistency():
+        import secrets
+        try:
+            mt.tic("Prover", "consistency_proof")
+            if hybrid:
+                q, v = last_res.hyb_next_q, last_res.hyb_next_v
+            else:
+                q, v = last_res.doc_next_q, last_res.doc_next_v
+            # one v-commitment shared by the dot-prod argument and the CAP
+            v_blind = secrets.randbelow(f.p)
+            consist_box[0] = CM.prove_consistency(
+                dc_secret, tt.table, tt.proj_chunk_idx, q, v,
+                proj=tt.doc_subset is not None, hybrid=hybrid,
+                v_blind=v_blind)
+            consist_box[1] = cap_prove(v, salt, v_blind)
+            mt.stop("Prover", "consistency_proof")
+        except Exception as e:               # surface in the caller
+            consist_box[2] = e
+
+    cth = None
+    if not merkle:
+        cth = threading.Thread(target=_consistency, daemon=True)
+        cth.start()
+
     mt.tic("Prover", "compressed_snark")
     ivc_proof = rs.compress()
     mt.stop("Prover", "compressed_snark")
 
-    consist = None
-    cap = None
-    if not merkle:
-        import secrets
-        mt.tic("Prover", "consistency_proof")
-        if hybrid:
-            q, v = last_res.hyb_next_q, last_res.hyb_next_v
-        else:
-            q, v = last_res.doc_next_q, last_res.doc_next_v
-        # one v-commitment shared by the dot-product argument and the CAP
-        v_blind = secrets.randbelow(f.p)
-        consist = CM.prove_consistency(
-            dc_secret, tt.table, tt.proj_chunk_idx, q, v,
-            proj=tt.doc_subset is not None, hybrid=hybrid, v_blind=v_blind)
-        cap = cap_prove(v, salt, v_blind)
-        mt.stop("Prover", "consistency_proof")
+    if cth is not None:
+        cth.join()
+        if consist_box[2] is not None:
+            raise consist_box[2]
+    consist, cap = consist_box[0], consist_box[1]
 
     if checkpoint_path and _os.path.exists(checkpoint_path):
         _os.remove(checkpoint_path)          # proof complete; state consumed
