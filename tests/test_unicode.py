@@ -101,18 +101,39 @@ def test_unicode_edges_are_ranges():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.e2e
-@pytest.mark.parametrize("rstr,doc,negate", [
-    ("café.*界", "naïve café 世界", False),
-    ("^ab$", "a世", True),
-])
-def test_unicode_e2e(rstr, doc, negate):
+def _e2e(rstr, doc, negate=False, **kw):
     from reef_tpu.backend import framework as FW
 
     safa = SAFA(None, simpl(rstr))
     if negate:
         safa = safa.negate()
     codes = [ord(c) for c in doc]
-    commit, dc_secret = FW.run_committer(codes, safa.ab, False, seed=7)
-    proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2)
-    assert FW.run_verifier(commit, safa, proofs, batch_size=2)
+    merkle = kw.get("merkle", False)
+    commit, dc_secret = FW.run_committer(codes, safa.ab, merkle, seed=7)
+    proofs = FW.run_prover(commit, dc_secret, safa, codes, batch_size=2,
+                           **kw)
+    return FW.run_verifier(commit, safa, proofs, batch_size=2, **kw)
+
+
+@pytest.mark.e2e
+@pytest.mark.parametrize("rstr,doc,negate", [
+    ("café.*界", "naïve café 世界", False),
+    ("^ab$", "a世", True),
+])
+def test_unicode_e2e(rstr, doc, negate):
+    assert _e2e(rstr, doc, negate=negate)
+
+
+@pytest.mark.e2e
+def test_unicode_e2e_hybrid():
+    assert _e2e("café.*界", "naïve café 世界", hybrid=True)
+
+
+@pytest.mark.e2e
+def test_unicode_e2e_merkle():
+    assert _e2e("café.*界", "naïve café 世界", merkle=True)
+
+
+@pytest.mark.e2e
+def test_unicode_e2e_projections():
+    assert _e2e("^.{8}世界", "aaaaaaaa世界", projections=True)
