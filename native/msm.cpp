@@ -1039,6 +1039,11 @@ void msm_core(Curve& cv, int64_t n, const uint8_t* scalars,
 #endif
     if (c < 4) c = 4;
     if (c > 16) c = 16;
+    // small MSMs with full-size scalars (the post-materialize IPA round
+    // MSMs): logn-derived c explodes the window count (64 windows of c=4
+    // at n=256) and the per-window fixed costs dominate — measured ~25%
+    // faster at c=8 for n<=512
+    if (n <= 512 && c < 8) c = 8;
   }
   // cap the window count by the actual scalar magnitude: doc commitments
   // feed alphabet-code scalars (< 2^6), for which the fixed 256-bit
