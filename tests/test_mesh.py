@@ -22,6 +22,18 @@ pytestmark = pytest.mark.slow
 f = F.FQ
 
 
+@pytest.fixture(autouse=True)
+def _drop_spmd_mappings(request):
+    """Release compiled SPMD executables after each heavy test: every
+    mesh-shape module pins ~10-16k memory mappings, and a few of them in
+    one process exhaust vm.max_map_count (default 65530) — later compiles
+    then abort with LLVM 'Cannot allocate memory' despite free RAM (the
+    round-4 slow-lane Fatal Aborted)."""
+    yield
+    if request.node.get_closest_marker("slowest"):
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def mesh8():
     from reef_tpu.parallel.mesh import make_mesh

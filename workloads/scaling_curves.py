@@ -99,6 +99,10 @@ def main():
         sc = bench_sumcheck(n_dev)
         ms = bench_msm(n_dev) if n_dev > 1 else None
         rows.append((n_dev, sc, ms))
+        # each mesh shape's SPMD modules pin ~10-16k memory mappings;
+        # without dropping them the process exhausts vm.max_map_count
+        # (default 65530) mid-compile and LLVM aborts with ENOMEM
+        jax.clear_caches()
         print(f"n_dev={n_dev}: sumcheck {sc:.2f}s/proof"
               + (f", msm512 {ms:.2f}s" if ms else " (msm: single-dev "
                  "path is ec.msm_v3, not the mesh kernel)"), flush=True)
