@@ -27,6 +27,7 @@ into Fq (replacing nova's PoseidonRO, commitment.rs:190-198).
 from __future__ import annotations
 
 import hashlib
+import threading
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
@@ -268,7 +269,22 @@ def _device_msm_mode() -> str:
     return os.environ.get("REEF_DEVICE_MSM", "auto")
 
 
+_MSM_HOST_PIN = threading.local()
+
+
+def pin_host_msm() -> None:
+    """Pin the CALLING THREAD's Pedersen MSMs to the host path.  The
+    framework's consistency/CAP thread runs concurrently with the
+    CompressedSNARK (framework.py prove overlap); two threads dispatching
+    jax device programs at once is an unaudited combination on a local
+    accelerator, and the consistency MSMs are small enough that the host
+    path loses nothing — so the thread opts out of the device gate."""
+    _MSM_HOST_PIN.on = True
+
+
 def _device_msm_on(n: Optional[int] = None) -> bool:
+    if getattr(_MSM_HOST_PIN, "on", False):
+        return False
     mode = _device_msm_mode()
     if mode == "1":
         return True

@@ -376,6 +376,10 @@ def run_prover(commit: ReefCommitment, dc_secret: Optional[NLDocCommitment],
     def _consistency():
         import secrets
         try:
+            # this thread runs concurrently with compress: keep its MSMs
+            # on the host path so two threads never dispatch jax device
+            # programs at once (ADVICE r4; commitment.pin_host_msm)
+            CM.pin_host_msm()
             mt.tic("Prover", "consistency_proof")
             if hybrid:
                 q, v = last_res.hyb_next_q, last_res.hyb_next_v

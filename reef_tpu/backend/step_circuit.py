@@ -215,6 +215,23 @@ class StepCircuit:
         vs: List[LC] = []
         for i in range(bs):
             cs.assert_geq(lc_const(S), states[i], bit_limit, f"st_rng_{i}")
+            # Pin BOTH range digits canonically to [0, C] before the
+            # relative checks: without this a forged (char_lo - t,
+            # char_hi + t*C) pair leaves v_i unchanged (char_lo's weight
+            # in v_i is exactly C times char_hi's) while widening the
+            # accepted char window.  assert_fits rejects wrapped
+            # negatives; assert_geq(C, .) caps the high side (honest EOF
+            # rows carry char == eof_code == C, table.py make_num_ab).
+            # With digits in [0, C] the only surviving alias of
+            # lo*C + hi is (lo-1, hi+C) with hi == 0, which needs an
+            # honest row with c_lo > c_hi == 0 — rows always satisfy
+            # c_lo <= c_hi, so the decomposition is effectively unique.
+            cs.assert_fits(char_los[i], cbits, f"ch_lo_fit_{i}")
+            cs.assert_geq(lc_const(C), char_los[i], cbits,
+                          f"ch_lo_cap_{i}")
+            cs.assert_fits(char_his[i], cbits, f"ch_hi_fit_{i}")
+            cs.assert_geq(lc_const(C), char_his[i], cbits,
+                          f"ch_hi_cap_{i}")
             cs.assert_geq(chars[i], char_los[i], cbits, f"ch_lo_{i}")
             cs.assert_geq(char_his[i], chars[i], cbits, f"ch_hi_{i}")
             v_i = lc_add(

@@ -198,6 +198,10 @@ class TransitionTable:
     def encode(self, rel: int, in_state: int, out_state: int, c_lo: int,
                c_hi: int, lo: int, hi: int) -> int:
         S, C, O = self.num_states, self.num_chars, self.max_offsets
+        # The in-circuit digit pinning (step_circuit.py lookup encodings)
+        # relies on every table row satisfying 0 <= c_lo <= c_hi <= C:
+        # it makes the base-C decomposition of the char portion unique.
+        assert 0 <= c_lo <= c_hi <= C, (rel, in_state, out_state, c_lo, c_hi)
         return (rel * S * S * C * C * O * O + in_state * S * C * C * O * O
                 + out_state * C * C * O * O + c_lo * C * O * O
                 + c_hi * O * O + lo * O + hi)

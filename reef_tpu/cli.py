@@ -114,6 +114,17 @@ def build_safa(args, ab: Optional[List[int]]) -> SAFA:
     return safa
 
 
+def _offload_opted_in(env) -> bool:
+    """True when device offload is EXPLICITLY opted in ("1"/"mesh"/...).
+    "auto" is not an opt-in: it defers to the runtime probe, which on a
+    tunneled env stays host — so both the host-pin and the compile-cache
+    setup must treat it the same way (round-5 fix: they disagreed, and a
+    tunneled run with REEF_DEVICE_MSM=auto was pinned to host CPU while
+    still configuring the TPU persistent cache dir)."""
+    return (env.get("REEF_DEVICE_SUMCHECK", "0") not in ("", "0", "auto")
+            or env.get("REEF_DEVICE_MSM", "0") not in ("", "0", "auto"))
+
+
 def _force_host_jax() -> None:
     """Route any lazy jax use to host XLA on TUNNELED-plugin environments.
 
@@ -133,8 +144,7 @@ def _force_host_jax() -> None:
     env = os.environ
     if (not env.get("PALLAS_AXON_POOL_IPS")
             or env.get("REEF_KEEP_AXON")
-            or env.get("REEF_DEVICE_SUMCHECK", "0") not in ("", "0", "auto")
-            or env.get("REEF_DEVICE_MSM", "0") not in ("", "0", "auto")):
+            or _offload_opted_in(env)):
         return
     try:
         import jax
@@ -151,10 +161,7 @@ def _setup_jax_cache() -> None:
     regardless); host-pinned runs skip it — they compile nothing and must
     not touch the committed test cache."""
     env = os.environ
-    offload = (env.get("REEF_KEEP_AXON")
-               or env.get("REEF_DEVICE_SUMCHECK", "0") not in ("", "0")
-               or env.get("REEF_DEVICE_MSM", "0") not in ("", "0"))
-    if not offload:
+    if not (env.get("REEF_KEEP_AXON") or _offload_opted_in(env)):
         return
     try:
         import jax

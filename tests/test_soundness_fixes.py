@@ -78,6 +78,38 @@ def test_stack_push_hash_binding():
     assert found, "no push step found in trace"
 
 
+def test_char_range_digits_pinned():
+    # round-5 fix (ADVICE r4, high): the forged pair
+    # (char_lo - t, char_hi + t*C) leaves v_i unchanged (char_lo's
+    # weight is C times char_hi's) while widening the accepted char
+    # window — a dishonest prover could consume 'A' through the
+    # width-1 row for 'z'.  The digits must be pinned to [0, C].
+    tt, circ, codes = build("^z$", "Az", "z")
+    C = tt.num_chars  # 4: |ab|=2 + EPSILON/EOF
+    wits, _ = batches(tt, circ, codes)[0]
+    # honest row for 'z' (code 1): char_lo = char_hi = 1
+    assert wits["char_lo_0"] == 1 and wits["char_hi_0"] == 1
+    # forge t=1: (0, 1 + C) keeps lo*C + hi == 5 while widening the
+    # accepted window to [0, 1+C] — the doc-bound char stays honest;
+    # a non-matching doc char would now slip through the row
+    wits["char_lo_0"] = 0
+    wits["char_hi_0"] = 1 + C
+    assert_rejected(circ, wits)
+
+
+def test_char_range_digits_no_wrap():
+    # the wrapped-negative variant: char_lo = -1 mod p passes the
+    # relative check (char - char_lo = char + 1 still fits cbits) —
+    # assert_fits must reject it
+    tt, circ, codes = build("^A$", "Az", "A")
+    wits, _ = batches(tt, circ, codes)[0]
+    assert wits["char_lo_0"] == 0 and wits["char_hi_0"] == 0
+    C = tt.num_chars
+    wits["char_lo_0"] = (0 - 1) % f.p  # wraps to p-1; keeps lo*C + hi
+    wits["char_hi_0"] = 0 + C
+    assert_rejected(circ, wits)
+
+
 def test_offset_window_enforced():
     # offset outside the [lower, upper] window must fail
     tt, circ, codes = build("^.{3}b$", "ab", "aaab")
