@@ -33,9 +33,26 @@ from .msm import CurveKernels
 u32 = jnp.uint32
 
 
+def _stack(*vals):
+    """Stack G limb lists into one limb list of (G, ...)-shaped tiles."""
+    return [jnp.stack([v[i] for v in vals]) for i in range(N)]
+
+
+def _unstack(t, g):
+    """Inverse of _stack: limb list of (G, ...) tiles -> G limb lists."""
+    return [[t[i][j] for i in range(N)] for j in range(g)]
+
+
 def padd_tiles(ck: CurveKernels, X1, Y1, Z1, X2, Y2, Z2):
     """Complete addition on limb-list tiles (pure jnp; shared by the Pallas
-    kernel body and direct tests).  Returns (X3, Y3, Z3) limb lists."""
+    kernel body and direct tests).  Returns (X3, Y3, Z3) limb lists.
+
+    The 14 Montgomery muls of the RCB16 a=0 formula come in 4 mutually
+    independent groups (3 + 3 + 2 + 6); each group is ONE mul_tile call on
+    stacked (G, ...) tiles so the VPU sees G interleaved independent
+    multiplications — the ILP structure that lifts the fused Poseidon
+    kernel to ~96% of the independent-mul ruler (818M mul/s, probe_msm5
+    phase 1), where a serial mul chain is latency-bound at ~148M."""
     f = ck.lf
     b3_int = 15 * f.r_int % f.p_int  # 3b in Montgomery form
     b3 = [u32(v) for v in F.to_limbs(b3_int)]
@@ -45,54 +62,70 @@ def padd_tiles(ck: CurveKernels, X1, Y1, Z1, X2, Y2, Z2):
     add = lambda a, b: add_tile(f, a, b)
     sub = lambda a, b: sub_tile(f, a, b)
 
-    t0 = mul(X1, X2)
-    t1 = mul(Y1, Y2)
-    t2 = mul(Z1, Z2)
-    t3 = mul(add(X1, Y1), add(X2, Y2))
-    t3 = sub(t3, add(t0, t1))
-    t4 = mul(add(Y1, Z1), add(Y2, Z2))
-    t4 = sub(t4, add(t1, t2))
-    X3 = mul(add(X1, Z1), add(X2, Z2))
-    Y3 = sub(X3, add(t0, t2))
-    X3 = add(t0, t0)
-    t0 = add(X3, t0)
-    t2 = mul(b3t, t2)
-    Z3 = add(t1, t2)
-    t1 = sub(t1, t2)
-    Y3 = mul(b3t, Y3)
-    X3 = mul(t4, Y3)
-    X3 = sub(mul(t3, t1), X3)
-    Y3 = mul(Y3, t0)
-    Y3 = add(mul(t1, Z3), Y3)
-    t0 = mul(t0, t3)
-    Z3 = add(mul(Z3, t4), t0)
-    return X3, Y3, Z3
+    # group 1: t0 = X1*X2, t1 = Y1*Y2, t2 = Z1*Z2
+    t0, t1, t2 = _unstack(mul(_stack(X1, Y1, Z1), _stack(X2, Y2, Z2)), 3)
+    # group 2: the three cross sums (Xi+Yi)(..), (Yi+Zi)(..), (Xi+Zi)(..)
+    sA = add(_stack(X1, Y1, X1), _stack(Y1, Z1, Z1))
+    sB = add(_stack(X2, Y2, X2), _stack(Y2, Z2, Z2))
+    pair = add(_stack(t0, t1, t0), _stack(t1, t2, t2))
+    t3, t4, t5 = _unstack(sub(mul(sA, sB), pair), 3)
+    # group 3: 3b * {t2, t5}
+    b3t2, Y3 = _unstack(mul(_stack(b3t, b3t), _stack(t2, t5)), 2)
+    d0 = add(t0, t0)
+    t0 = add(d0, t0)                 # 3*t0
+    Z3 = add(t1, b3t2)
+    t1 = sub(t1, b3t2)
+    # group 4: the 6 independent product terms of the final combination
+    q = mul(_stack(t4, t3, Y3, t1, t0, Z3), _stack(Y3, t1, t0, Z3, t3, t4))
+    q0, q1, q2, q3, q4, q5 = _unstack(q, 6)
+    X3 = sub(q1, q0)                 # t3*t1 - t4*Y3
+    Y3f, Z3f = _unstack(add(_stack(q3, q5), _stack(q2, q4)), 2)
+    return X3, Y3f, Z3f
 
 
-def _padd_body(ck: CurveKernels, p_ref, q_ref, o_ref):
-    """Pallas kernel body: refs are (3, 16, 8, 128) uint32 blocks."""
-    X1 = [p_ref[0, i] for i in range(N)]
-    Y1 = [p_ref[1, i] for i in range(N)]
-    Z1 = [p_ref[2, i] for i in range(N)]
-    X2 = [q_ref[0, i] for i in range(N)]
-    Y2 = [q_ref[1, i] for i in range(N)]
-    Z2 = [q_ref[2, i] for i in range(N)]
-    X3, Y3, Z3 = padd_tiles(ck, X1, Y1, Z1, X2, Y2, Z2)
-    for i in range(N):
-        o_ref[0, i] = X3[i]
-        o_ref[1, i] = Y3[i]
-        o_ref[2, i] = Z3[i]
+def _padd_body(ck: CurveKernels, chunk: int, p_ref, q_ref, o_ref):
+    """Pallas kernel body: refs are (3, 16, chunk*8, 128) uint32 blocks.
+
+    `chunk` sub-blocks of 1024 lanes per grid step: the per-grid-step
+    pipeline overhead on the v5e measured ~15 us regardless of block size
+    (probe_mul_stream phase 3: even a pure copy ran at ~7 GB/s with
+    1024-lane blocks), so one-padd-per-step capped the kernel at ~22M
+    padd-lanes/s.  Amortizing 8 sub-blocks per step lifted it to ~54M
+    (probe run, 2.4x); VMEM budget caps chunk at 8 (3 buffers x 1.5 MB,
+    double-buffered, inside the 16 MB scoped limit)."""
+    def step(c, _):
+        idx = (slice(None), slice(None), pl.ds(c * SUB, SUB), slice(None))
+        P = p_ref[idx]
+        Q = q_ref[idx]
+        X3, Y3, Z3 = padd_tiles(
+            ck, [P[0, i] for i in range(N)], [P[1, i] for i in range(N)],
+            [P[2, i] for i in range(N)], [Q[0, i] for i in range(N)],
+            [Q[1, i] for i in range(N)], [Q[2, i] for i in range(N)])
+        o_ref[idx] = jnp.stack(
+            [jnp.stack(X3), jnp.stack(Y3), jnp.stack(Z3)])
+        return 0
+
+    if chunk == 1:
+        step(0, 0)
+    else:
+        jax.lax.fori_loop(0, chunk, step, 0)
+
+
+MAX_CHUNK = 8
 
 
 @functools.lru_cache(maxsize=None)
 def _padd_call(ck: CurveKernels, n_blocks: int, interpret: bool):
-    spec = pl.BlockSpec((3, N, SUB, 128), lambda i: (0, 0, i, 0),
+    chunk = MAX_CHUNK
+    while n_blocks % chunk:
+        chunk //= 2
+    spec = pl.BlockSpec((3, N, chunk * SUB, 128), lambda i: (0, 0, i, 0),
                         memory_space=pltpu.ANY if interpret else pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_padd_body, ck),
+        functools.partial(_padd_body, ck, chunk),
         out_shape=jax.ShapeDtypeStruct((3, N, n_blocks * SUB, 128),
                                        jnp.uint32),
-        grid=(n_blocks,),
+        grid=(n_blocks // chunk,),
         in_specs=[spec, spec],
         out_specs=spec,
         interpret=interpret,
