@@ -90,18 +90,163 @@ def _padd3(ck: CurveKernels, use_fused: bool):
     return fn
 
 
-def _chunk_prefixes(ck: CurveKernels, cap: int, padd3):
+def _bitrev_np(n: int) -> np.ndarray:
+    """Bit-reversal permutation of [0, n), n a power of two."""
+    bits = (n - 1).bit_length()
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, np.int64)
+    for i in range(bits):
+        rev |= ((idx >> i) & 1) << (bits - 1 - i)
+    return rev
+
+
+def _bitrev_jnp(k, t: int):
+    """Bit-reverse the low t bits of each element of k (values < 2^t)."""
+    import jax.numpy as jnp
+    r = jnp.zeros_like(k)
+    for i in range(t):
+        r = r | (((k >> i) & 1) << (t - 1 - i))
+    return r
+
+
+def _kernel_levels(cap: int) -> List[int]:
+    """Output widths (in 128-lane rows) of the in-kernel tree levels:
+    halving from cap/2 lanes while the output still fills >= one (8,128)
+    tile AND all sublane offsets stay 8-aligned."""
+    rows = cap // 128
+    out = []
+    w = rows
+    while w // 2 >= 8:
+        out.append(w // 2)
+        w //= 2
+    return out
+
+
+def _tree_body(ck: CurveKernels, klevels, p_ref, o_ref):
+    """Fused pairwise-sum tree for ONE window: p_ref (2,N,1,rows,128)
+    bit-reversal-placed affine basis points (X, Y only — every basis
+    lane has Z = 1 because DeviceBasisV3 pads with zero-scalar
+    generators); o_ref (3,N,1,rows_used,128) holds the kernel levels
+    concatenated.  With bit-reversed placement the even/odd pairing of
+    sorted order becomes first-half + second-half — contiguous sublane
+    slices, the only slicing Mosaic does at full speed.  Level 1 uses
+    the 10-mul affine-affine specialization."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from .pallas_ec import padd_affine_tiles, padd_tiles
+
+    pl_ds = pl.ds
+    SUBR = 8
+
+    def lanes(t, k):
+        return [t[k, i] for i in range(limb.N)]
+
+    def level1(half):
+        def blk(c, _):
+            a = p_ref[:, :, 0, pl_ds(c * SUBR, SUBR), :]
+            b = p_ref[:, :, 0, pl_ds(half + c * SUBR, SUBR), :]
+            X3, Y3, Z3 = padd_affine_tiles(
+                ck, lanes(a, 0), lanes(a, 1), lanes(b, 0), lanes(b, 1))
+            o_ref[:, :, 0, pl_ds(c * SUBR, SUBR), :] = jnp.stack(
+                [jnp.stack(X3), jnp.stack(Y3), jnp.stack(Z3)])
+            return 0
+        return blk
+
+    def level(s0, half, d0):
+        def blk(c, _):
+            a = o_ref[:, :, 0, pl_ds(s0 + c * SUBR, SUBR), :]
+            b = o_ref[:, :, 0, pl_ds(s0 + half + c * SUBR, SUBR), :]
+            X3, Y3, Z3 = padd_tiles(
+                ck, lanes(a, 0), lanes(a, 1), lanes(a, 2),
+                lanes(b, 0), lanes(b, 1), lanes(b, 2))
+            o_ref[:, :, 0, pl_ds(d0 + c * SUBR, SUBR), :] = jnp.stack(
+                [jnp.stack(X3), jnp.stack(Y3), jnp.stack(Z3)])
+            return 0
+        return blk
+
+    s_off, d_off = 0, 0
+    for li, out_rows in enumerate(klevels):
+        blk = level1(out_rows) if li == 0 else level(s_off, out_rows, d_off)
+        nb = out_rows // SUBR
+        if nb > 1:
+            jax.lax.fori_loop(0, nb, blk, 0)
+        else:
+            blk(0, 0)
+        s_off = d_off
+        d_off += out_rows
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_call(ck: CurveKernels, cap: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows = cap // 128
+    klevels = _kernel_levels(cap)
+    rows_used = sum(klevels)
+    in_spec = pl.BlockSpec((2, limb.N, 1, rows, 128),
+                           lambda w: (0, 0, w, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((3, limb.N, 1, rows_used, 128),
+                            lambda w: (0, 0, w, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tree_body, ck, tuple(klevels)),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, limb.N, N_WINDOWS, rows_used, 128), jnp.uint32),
+        grid=(N_WINDOWS,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+    )
+
+
+def _chunk_prefixes(ck: CurveKernels, cap: int, padd3, fused_tree: bool):
     """Traced fn: (pts (3,N,cap), scb (cap,32) u8, acc (3,N,W,DP)) ->
-    acc + this chunk's boundary prefix sums."""
+    acc + this chunk's boundary prefix sums.
+
+    TPU path (fused_tree): points gather directly into the
+    blocked (3,N,W,rows,128) layout in BIT-REVERSED placement and the
+    pairwise tree runs as ONE Pallas kernel per chunk (grid over windows,
+    VMEM-resident levels) — the XLA-composed tree paid ~15us of pipeline
+    overhead plus relayout copies per level per chunk.  Tail levels
+    (width < 128 lanes) and the Fenwick boundary-prefix assembly stay in
+    XLA.  Node k of level b lives at lane bitrev(k) of that level, so the
+    Fenwick indices bit-reverse `cleared >> b` (see _tree_body)."""
     import jax
     import jax.numpy as jnp
 
     LV = max(1, (cap - 1).bit_length()) + 1     # tree levels 0..log2(cap)
-    offs = [0]
-    width = cap
-    for _ in range(1, LV):
-        offs.append(offs[-1] + width)
-        width //= 2
+    LOG = LV - 1
+
+    if fused_tree:
+        klevels = _kernel_levels(cap)
+        rows_used = sum(klevels)
+        # offsets into flat = concat(kernel levels, XLA tail levels);
+        # level 0 (single sorted points) is gathered straight from the
+        # basis via a double-index lookup, never materialized
+        offs = [0]                      # placeholder for level 0
+        run = 0
+        for r in klevels:               # kernel levels 1..len(klevels)
+            offs.append(run)
+            run += r * 128
+        tail_w = klevels[-1] * 128 // 2
+        w = tail_w
+        while w >= 1:                   # XLA tail levels
+            offs.append(run)
+            run += w
+            w //= 2
+        assert len(offs) == LV and run == cap - 1
+        brev_cap = _bitrev_np(cap)
+    else:
+        offs = [0]
+        width = cap
+        for _ in range(1, LV):
+            offs.append(offs[-1] + width)
+            width //= 2
 
     def fn(pts, scb, acc):
         digs = scb.T.astype(jnp.uint32)                    # (32, cap)
@@ -123,22 +268,79 @@ def _chunk_prefixes(ck: CurveKernels, cap: int, padd3):
         for b in range(LV):
             lv_mask.append(((m >> b) & 1).astype(bool))
             cleared = (m >> (b + 1)) << (b + 1)
-            lv_idx.append(offs[b] + (cleared >> b))
+            k = cleared >> b
+            if fused_tree:
+                k = _bitrev_jnp(k, LOG - b)
+            lv_idx.append(offs[b] + k)
         lv_idx = jnp.stack(lv_idx)                         # (LV, W, DP)
         lv_mask = jnp.stack(lv_mask)
 
-        # gather into window order: flattened (W*cap) take on the lane
-        # axis keeps window-major order with NO transposes
-        sorted_pts = jnp.take(pts, order_desc.reshape(-1), axis=-1)
-        sorted_pts = sorted_pts.reshape(3, limb.N, N_WINDOWS, cap)
+        if fused_tree:
+            order_placed = jnp.take(order_desc, jnp.asarray(brev_cap),
+                                    axis=1)                # (W, cap)
+            idx5 = order_placed.reshape(N_WINDOWS, cap // 128, 128)
+            placed5 = jnp.take(pts[:2], idx5, axis=-1)  # (2,N,W,rows,128)
+            kern5 = _tree_call(ck, cap)(placed5)
+            kern4 = kern5.reshape(3, limb.N, N_WINDOWS, rows_used * 128)
+            levels = [kern4]
+            cur = kern4[..., (rows_used - klevels[-1]) * 128:]
+            w = cur.shape[-1]
+            while w > 1:
+                cur = padd3(cur[..., :w // 2], cur[..., w // 2:])
+                levels.append(cur)
+                w //= 2
+            flat = jnp.concatenate(levels, axis=-1)   # (3,N,W,cap-1)
 
-        # pairwise-sum tree (log cap fused padds, shrinking lane counts)
-        levels = [sorted_pts]
-        cur = sorted_pts
-        while cur.shape[-1] > 1:
-            cur = padd3(cur[..., 0::2], cur[..., 1::2])
-            levels.append(cur)
-        flat = jnp.concatenate(levels, axis=-1)       # (3,N,W,2cap-1)
+            ident = jnp.asarray(np.asarray(ck.ident))      # (3, N)
+            ident_b = ident[:, :, None, None, None]
+            # level 0: single sorted points, gathered (X, Y) straight
+            # from the basis through the sort order; Z = 1 for every
+            # basis lane (zero-scalar generator padding)
+            k0 = jnp.clip((m >> 1) << 1, 0, cap - 1)
+            pt_idx = jnp.take_along_axis(order_desc, k0, axis=1)
+            g0xy = jnp.take(pts[:2], pt_idx.reshape(-1), axis=-1)
+            g0xy = g0xy.reshape(2, limb.N, N_WINDOWS, DP)
+            one = jnp.asarray(ck.lf.one_mont)[:, None, None]
+            g0 = jnp.concatenate(
+                [g0xy, jnp.broadcast_to(one, (1,) + g0xy.shape[1:])],
+                axis=0)                                    # (3,N,W,DP)
+            g0 = jnp.where(lv_mask[0][None, None], g0, ident_b[..., 0, :])
+
+            # ONE gather for the other levels' nodes + a pairwise reduce
+            # over the level axis: same padd-lane count as a 15-step
+            # Fenwick scan but 4 padd launches instead of 15 and one
+            # gather instead of 15 (each XLA op pays the ~15us pipeline
+            # floor, probe_mul_stream phase 3).
+            idx_r = lv_idx[1:].transpose(1, 0, 2).reshape(
+                N_WINDOWS, (LV - 1) * DP)
+            g = jnp.take_along_axis(flat, idx_r[None, None], axis=-1)
+            g = g.reshape(3, limb.N, N_WINDOWS, LV - 1, DP)
+            g = jnp.where(lv_mask[1:].transpose(1, 0, 2)[None, None], g,
+                          ident_b)
+            g = jnp.concatenate([g0[..., None, :], g], axis=3)
+            L = 1 << (LV - 1).bit_length()                 # pad 15 -> 16
+            if L != LV:
+                pad = jnp.broadcast_to(
+                    ident_b, (3, limb.N, N_WINDOWS, L - LV, DP))
+                g = jnp.concatenate([g, pad], axis=3)
+            while L > 1:
+                half = L // 2
+                g = padd3(g[..., :half, :], g[..., half:, :])
+                L = half
+            return padd3(acc, g[..., 0, :])
+        else:
+            # gather into window order: flattened (W*cap) take on the
+            # lane axis keeps window-major order with NO transposes
+            sorted_pts = jnp.take(pts, order_desc.reshape(-1), axis=-1)
+            sorted_pts = sorted_pts.reshape(3, limb.N, N_WINDOWS, cap)
+
+            # pairwise-sum tree (log cap padds, shrinking lane counts)
+            levels = [sorted_pts]
+            cur = sorted_pts
+            while cur.shape[-1] > 1:
+                cur = padd3(cur[..., 0::2], cur[..., 1::2])
+                levels.append(cur)
+            flat = jnp.concatenate(levels, axis=-1)   # (3,N,W,2cap-1)
 
         def fenwick(a, lvl):
             idx, mask = lvl                           # (W, DP)
@@ -170,12 +372,14 @@ def _halve_digits(padd3, acc):
     return acc[..., 0]
 
 
-def _kernel_fn(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool):
+def _kernel_fn(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool,
+               tree_ok: bool = True):
     import jax
     import jax.numpy as jnp
 
     padd3 = _padd3(ck, use_fused)
-    chunk = _chunk_prefixes(ck, cap, padd3)
+    chunk = _chunk_prefixes(ck, cap, padd3,
+                            use_fused and tree_ok and cap >= 4096)
 
     def fn(pts, scb, ident_soa):
         # pts (n_chunks, 3, N, cap); scb (n_chunks, cap, 32);
@@ -195,9 +399,10 @@ def _kernel_fn(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool):
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_jit(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool):
+def _kernel_jit(ck: CurveKernels, cap: int, n_chunks: int, use_fused: bool,
+                tree_ok: bool = True):
     import jax
-    return jax.jit(_kernel_fn(ck, cap, n_chunks, use_fused))
+    return jax.jit(_kernel_fn(ck, cap, n_chunks, use_fused, tree_ok))
 
 
 def combine_windows(ck: CurveKernels, accs_soa) -> Point:
@@ -244,9 +449,15 @@ class DeviceBasisV3:
         n2 = max(n2, min(self.cap, 128))
         self.cap = min(self.cap, n2)
         if n2 != self.n:
-            pad = np.broadcast_to(np.asarray(ck.ident),
-                                  (n2 - self.n, 3, limb.N))
+            # pad with zero-scalar GENERATORS, not identities: padding
+            # lanes never enter a boundary prefix (digit 0 < every
+            # bucket), and an all-Z=1 basis lets the fused tree kernel
+            # gather only (X, Y) and use the 10-mul affine level-1 add
+            gpad = ck.to_proj([ck.curve.gen])[0]
+            pad = np.broadcast_to(gpad, (n2 - self.n, 3, limb.N))
             points = np.concatenate([points, pad])
+        one = ck.lf.encode_host(1)
+        self.all_z1 = bool(np.all(points[:, 2] == one))
         self.n2 = n2
         self.n_chunks = n2 // self.cap
         soa = np.transpose(points, (1, 2, 0))         # (3, N, n2)
@@ -271,7 +482,8 @@ def msm_device_v3(ck: CurveKernels, scalars: List[int], points) -> Point:
     scb = np.zeros((points.n2, 32), np.uint8)
     scb[:n] = scalars_to_bytes(list(scalars), ck.curve.order)
 
-    kern = _kernel_jit(ck, points.cap, points.n_chunks, _use_fused())
+    kern = _kernel_jit(ck, points.cap, points.n_chunks, _use_fused(),
+                       getattr(points, "all_z1", True))
     # no_persistent_cache: XLA:CPU cannot round-trip these big limb
     # executables (cache reads segfault); the tunneled TPU's remote
     # compiler ignores the local cache anyway

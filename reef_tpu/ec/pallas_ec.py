@@ -83,6 +83,39 @@ def padd_tiles(ck: CurveKernels, X1, Y1, Z1, X2, Y2, Z2):
     return X3, Y3f, Z3f
 
 
+def padd_affine_tiles(ck: CurveKernels, X1, Y1, X2, Y2):
+    """Complete addition of two Z=1 points on limb-list tiles: the RCB16
+    a=0 formula with Z1 = Z2 = 1 folded in — t2 = 1 and 3b*t2 = 3b are
+    constants, and t4 = (Y1+1)(Y2+1)-t1-1 = Y1+Y2 and the X3 cross term
+    collapse to additions, leaving 10 Montgomery muls (2+2+6 independent
+    groups) instead of 14.  Used for the first level of the MSM pairwise
+    tree, where both inputs are basis points (DeviceBasisV3 pads with
+    zero-scalar generators precisely so every basis lane has Z = 1)."""
+    f = ck.lf
+    b3_int = 15 * f.r_int % f.p_int
+    b3t = [jnp.full_like(X1[0], u32(v)) for v in F.to_limbs(b3_int)]
+
+    mul = lambda a, b: mul_tile(f, a, b)
+    add = lambda a, b: add_tile(f, a, b)
+    sub = lambda a, b: sub_tile(f, a, b)
+
+    t0, t1 = _unstack(mul(_stack(X1, Y1), _stack(X2, Y2)), 2)
+    t4 = add(Y1, Y2)                         # (Y1+1)(Y2+1) - t1 - 1
+    t5 = add(X1, X2)                         # (X1+1)(X2+1) - t0 - 1
+    m3, Y3 = _unstack(mul(_stack(add(X1, Y1), b3t),
+                          _stack(add(X2, Y2), t5)), 2)
+    t3 = sub(m3, add(t0, t1))
+    d0 = add(t0, t0)
+    t0 = add(d0, t0)                         # 3*t0
+    Z3 = add(t1, b3t)                        # t1 + 3b (t2 = 1)
+    t1 = sub(t1, b3t)
+    q = mul(_stack(t4, t3, Y3, t1, t0, Z3), _stack(Y3, t1, t0, Z3, t3, t4))
+    q0, q1, q2, q3, q4, q5 = _unstack(q, 6)
+    X3 = sub(q1, q0)
+    Y3f, Z3f = _unstack(add(_stack(q3, q5), _stack(q2, q4)), 2)
+    return X3, Y3f, Z3f
+
+
 def _padd_body(ck: CurveKernels, chunk: int, p_ref, q_ref, o_ref):
     """Pallas kernel body: refs are (3, 16, chunk*8, 128) uint32 blocks.
 
