@@ -305,6 +305,20 @@ def _device_msm_on(n: Optional[int] = None) -> bool:
 
 
 DEVICE_MSM_MIN_N = 256          # below this the host MSM always wins
+DEVICE_ROWS_MIN_N = 4096        # fused-tree shape floor for row batches
+
+
+def _single_accel_device() -> bool:
+    """True when exactly one accelerator device is attached (the row
+    batch kernel is single-chip; multi-device platforms use the sharded
+    MSM instead)."""
+    import jax
+    return len(jax.devices()) == 1
+
+
+def _pack_H(cv: Curve, H: Point) -> bytes:
+    from ..ec.native_msm import _pack_points
+    return bytes(_pack_points([H]))
 
 _COMMIT_MESH = None
 
@@ -408,10 +422,30 @@ class PedersenGens:
                     ) -> Optional[List[Point]]:
         """All row commitments of a matrix in ONE native call (basis loaded
         once, rows threaded, magnitude-capped windows — the Hyrax doc
-        commit); returns None when the native library is unavailable."""
-        from ..ec.native_msm import msm_rows
+        commit); returns None when the native library is unavailable.
+
+        Wide matrices (row length >= DEVICE_ROWS_MIN_N, where the fused
+        tree kernel clears >1M pts/s) route to the device when the
+        REEF_DEVICE_MSM gate engages: every row in ONE dispatch
+        (ec.msm_v3.msm_device_v3_rows), blinds folded in via one native
+        fixed-base call."""
         n_rows = len(blinds)
         assert n_rows and len(flat) == n_rows * self.n
+        if (self.n >= DEVICE_ROWS_MIN_N and _device_msm_on(n_rows * self.n)
+                and _single_accel_device()):
+            from ..ec.msm_v3 import msm_device_v3_rows
+            from ..ec.native_msm import msm_rows as native_rows
+            rows = [flat[r * self.n:(r + 1) * self.n]
+                    for r in range(n_rows)]
+            base = msm_device_v3_rows(self.device_G().ck, rows,
+                                      self.device_G())
+            hpacked = _pack_H(self.cv, self.H)
+            bpts = native_rows(self.cv, n_rows, 1, [0] * n_rows, blinds,
+                               hpacked, self.H)
+            if bpts is None:
+                bpts = [self.cv.mul(b, self.H) for b in blinds]
+            return [self.cv.add(p, bp) for p, bp in zip(base, bpts)]
+        from ..ec.native_msm import msm_rows
         return msm_rows(self.cv, n_rows, self.n, flat, blinds,
                         self.packed_G(), self.H)
 
@@ -496,13 +530,12 @@ class HyraxPC:
         if blinds is None:
             import secrets
             blinds = [secrets.randbelow(self.f.p) for _ in range(self.n_rows)]
-        rows = None
         # the row MSMs are MANY SMALL MSMs over a shared basis: the host
         # row-batched native call (basis loaded once, rows threaded) beats
-        # per-row device launches for typical sqrt-factored shapes; only
-        # very wide rows (>= 2^14 cols) go to the device per-row
-        if not (self.n_cols >= (1 << 14) and _device_msm_on(self.n_cols)):
-            rows = self.vec_gens.commit_rows(coeffs, blinds)
+        # per-row device launches for typical sqrt-factored shapes; wide
+        # rows (>= DEVICE_ROWS_MIN_N cols, fused-tree territory at >1M
+        # pts/s) route to one all-rows device dispatch inside commit_rows
+        rows = self.vec_gens.commit_rows(coeffs, blinds)
         if rows is None:
             rows = [self.vec_gens.commit(
                         coeffs[j * self.n_cols:(j + 1) * self.n_cols],

@@ -468,6 +468,68 @@ class DeviceBasisV3:
             jnp.asarray(np.asarray(ck.ident)))        # (3, N)
 
 
+@functools.lru_cache(maxsize=None)
+def _rows_kernel_jit(ck: CurveKernels, cap: int, n_chunks: int,
+                     use_fused: bool, tree_ok: bool, n_rows: int):
+    """Multi-row MSM over a shared resident basis in ONE device program:
+    lax.scan of the single-MSM kernel over the row axis, then the
+    32-window combine (8 doublings + 1 add per window, MSB-first) on
+    device — one dispatch + one (3,N,R) download for ALL rows, instead
+    of R kernel launches + R host window-combines.  The Hyrax doc-commit
+    rows (commitment.rs:171-198) route here for wide matrices."""
+    import jax
+    import jax.numpy as jnp
+
+    single = _kernel_fn(ck, cap, n_chunks, use_fused, tree_ok)
+    padd3 = _padd3(ck, use_fused)
+
+    def fn(pts, scb_all, ident_soa):
+        # pts (n_chunks,3,N,cap); scb_all (R, n_chunks, cap, 32)
+        def body(_, s):
+            return None, single(pts, s, ident_soa)
+
+        _, accs = jax.lax.scan(body, None, scb_all)   # (R, 3, N, W)
+        accs_w = jnp.transpose(accs, (3, 1, 2, 0))[::-1]  # (W,3,N,R) MSB 1st
+        acc0 = jnp.broadcast_to(ident_soa[:, :, None],
+                                (3, limb.N, n_rows))
+
+        def comb(acc, aw):
+            for _ in range(WINDOW_C):
+                acc = padd3(acc, acc)
+            return padd3(acc, aw), None
+
+        out, _ = jax.lax.scan(comb, acc0, accs_w)
+        return out                                    # (3, N, R)
+
+    return jax.jit(fn)
+
+
+def msm_device_v3_rows(ck: CurveKernels, rows_scalars,
+                       points) -> List[Point]:
+    """R independent MSMs of the SAME resident basis (the Hyrax row
+    commits) in one device dispatch; returns R affine host points."""
+    import jax.numpy as jnp
+
+    if not isinstance(points, DeviceBasisV3):
+        points = DeviceBasisV3(ck, points)
+    R = len(rows_scalars)
+    assert R >= 1
+    scb = np.zeros((R, points.n2, 32), np.uint8)
+    for r, row in enumerate(rows_scalars):
+        assert len(row) <= points.n2
+        scb[r, :len(row)] = scalars_to_bytes(list(row), ck.curve.order)
+
+    kern = _rows_kernel_jit(ck, points.cap, points.n_chunks, _use_fused(),
+                            getattr(points, "all_z1", True), R)
+    from .msm import no_persistent_cache
+    with no_persistent_cache():
+        out = np.asarray(kern(
+            points.arr,
+            jnp.asarray(scb.reshape(R, points.n_chunks, points.cap, 32)),
+            points.ident_soa))                        # (3, N, R)
+    return ck.to_affine(np.transpose(out, (2, 0, 1)))
+
+
 def msm_device_v3(ck: CurveKernels, scalars: List[int], points) -> Point:
     """Full MSM; `points` is a DeviceBasisV3 (resident; the production
     shape) or a host list/array (uploaded per call)."""

@@ -90,6 +90,31 @@ def verify_device_msm_v3(n=12288, cap=4096):
     log(f"PASS device MSM v3 n={n} cap={cap} ({dt:.1f}s incl. compile)")
 
 
+def verify_device_msm_rows(n=4096, R=3, cap=4096):
+    """Row-batched MSM (the device-routed Hyrax commit_rows path: one
+    dispatch for all rows + on-device window combine) vs host oracle."""
+    from reef_tpu.ec import msm as M
+    from reef_tpu.ec import msm_v3 as V3
+    from reef_tpu.ec.pasta import PALLAS
+
+    rng = random.Random(17)
+    base = [PALLAS.mul(rng.randrange(1, 1 << 64), PALLAS.gen)
+            for _ in range(128)]
+    pts = (base * (n // len(base) + 1))[:n]
+    ck = M.pallas_kernels()
+    basis = V3.DeviceBasisV3(ck, pts, cap=cap)
+    rows = [[rng.randrange(PALLAS.order) for _ in range(n)]
+            for _ in range(R)]
+    rows[0][3] = 0
+    t0 = time.time()
+    got = V3.msm_device_v3_rows(ck, rows, basis)
+    dt = time.time() - t0
+    for r in range(R):
+        assert got[r] == PALLAS.msm(rows[r], pts), f"rows MSM row {r}"
+    log(f"PASS device rows MSM R={R} n={n} cap={cap} "
+        f"({dt:.1f}s incl. compile)")
+
+
 def verify_device_sumcheck(ell=12):
     """Device nlookup sumcheck transcript == host transcript, rate-8 shape."""
     from reef_tpu.backend import sumcheck as SC
@@ -179,6 +204,9 @@ if __name__ == "__main__":
     # each fold round is its own kernel shape -> its own tunnel compile
     # (~25s each); ell=10 keeps the class representative at ~60% the cost
     verify_device_sumcheck(ell=10 if driver_mode else 12)
+    # the rows kernel (device-routed Hyrax commit_rows) is asserted in
+    # BOTH modes: no other driver stage exercises it live
+    verify_device_msm_rows()
     if not driver_mode:
         verify_device_msm()
         verify_device_msm_v3()
