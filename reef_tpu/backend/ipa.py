@@ -43,11 +43,13 @@ def _absorb_setup(t: Transcript, C_w: Point, C_v: Point, R_pub: List[int],
                   cv=cv):
     t.append_point(b"C_w", cv, C_w)
     t.append_point(b"C_v", cv, C_v)
-    # one blob absorb: the per-element transcript recursion was ~0.12s of
-    # every verify at n=2^15 (same bytes hashed either way binds the same
-    # vector; prover and verifier share this function)
-    t.append(b"R", b"".join((x % cv.order).to_bytes(32, "big")
-                            for x in R_pub))
+    # one blob absorb of the 32B-LE packed form: the per-element
+    # transcript recursion was ~0.12s of every verify at n=2^15, and a
+    # PackedVec R (eq_evals_native) absorbs its raw bytes with no
+    # int round-trip at all.  Prover and verifier share this function,
+    # so the encoding only needs to be consistent, not canonical-BE.
+    from ..ops.native_fieldvec import pack
+    t.append(b"R", pack(R_pub, cv.order))
     return t.challenge(b"ipa_tau", cv.order)
 
 
@@ -90,7 +92,10 @@ def ipa_prove(gens: PedersenGens, G_s: Point, w: List[int], rho: int,
     H = gens.H
     if not (isinstance(w, PackedVec) and w.p == p):   # PackedVec: canonical
         w = [x % p for x in w]
-    R = [x % p for x in R_pub]
+    if isinstance(R_pub, PackedVec) and R_pub.p == p:
+        R = R_pub
+    else:
+        R = [x % p for x in R_pub]
     rho_p = (rho + tau * r_v) % p
 
     # native round engine: w/R/coeff folds, cross dots, and the two

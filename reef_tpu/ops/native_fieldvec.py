@@ -383,12 +383,16 @@ def eq_evals_mont(point: Sequence[int], p: int) -> MontTable:
     return t
 
 
-def eq_evals_native(point: Sequence[int], p: int) -> List[int]:
+def eq_evals_native(point: Sequence[int], p: int) -> "PackedVec":
+    """All 2^l eq-table values as a PackedVec: downstream consumers
+    (_scalar_buf, pack, FV.dot) reuse the raw bytes — the int unpacking
+    plus re-packing of the 2^15-slot tables was a visible slice of the
+    warm 1 KB prove profile."""
     lib = _load()
     t = eq_evals_mont(point, p)
     out = ctypes.create_string_buffer(32 * t.n)
     lib.fv_from_mont(out, t.buf, t.n, FIELD_ID[p])
-    return unpack(out.raw, t.n)
+    return PackedVec(out.raw, t.n, p)
 
 
 def bilinear(mat: SparseMat, eq_rx_m: "MontTable", eq_ry_m: "MontTable"
