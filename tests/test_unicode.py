@@ -137,3 +137,15 @@ def test_unicode_e2e_merkle():
 @pytest.mark.e2e
 def test_unicode_e2e_projections():
     assert _e2e("^.{8}世界", "aaaaaaaa世界", projections=True)
+
+
+@pytest.mark.e2e
+@pytest.mark.slow
+def test_unicode_e2e_multikb_merkle_negate():
+    """BASELINE config 5 shape at multi-KB scale: utf8 --merkle --negate
+    on a multi-script doc (the 100 KB+ runs live in workloads/run.py
+    unicode_mn/unicode_proj; this keeps a CI-sized guard in the lane)."""
+    unit = "naïve café — 世界🌍: ab "
+    doc = unit * 180 + "终端OK"                    # ~4 KB of utf8 bytes
+    n = len(doc)
+    assert _e2e(f"^.{{{n - 6}}}禁🛑MARK.*", doc, negate=True, merkle=True)

@@ -22,6 +22,19 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_UNI_CACHE = {}
+
+
+def _uni_doc(n: int, tail: str) -> str:
+    """Deterministic multi-script (latin/accents/CJK/emoji) document of
+    ~n BYTES ending in `tail` (offsets in the regexes are CODEPOINTS)."""
+    key = (n, tail)
+    if key not in _UNI_CACHE:
+        unit = "naïve café — 世界🌍: ab "
+        reps = max(1, (n - 32) // len(unit.encode()))
+        _UNI_CACHE[key] = unit * reps + tail
+    return _UNI_CACHE[key]
+
 WORKLOADS = {
     # name: (alphabet, regex builder, doc builder, extra flags)
     "dna": {
@@ -72,6 +85,26 @@ WORKLOADS = {
         "doc": lambda n, rng: ("naïve " * max(1, n // 12))[:max(0, n - 12)]
         + "café — 世界",
         "flags": [],
+    },
+    # BASELINE.json config 5 AT SCALE: utf8 --merkle --negate on a
+    # multi-script (latin/accents/CJK/emoji) doc of 100 KB+.  The
+    # anchored skip regex names a forbidden motif at a fixed offset; the
+    # complement-skip edge jumps the prefix, so the non-match proof stays
+    # O(1) folds while the merkle commitment covers every codepoint.
+    # Offsets are in CODEPOINTS (doc built so the byte size ~= n).
+    "unicode_mn": {
+        "alphabet": "utf8",
+        "regex": lambda n: f"^.{{{n - 6}}}禁🛑MARK.*",
+        "doc": lambda n, rng: _uni_doc(n, "终端OK"),
+        "flags": ["-m", "-n"],
+    },
+    # utf8 projections + hybrid at scale: prove the motif at the end of a
+    # 100 KB+ multi-script doc against only the provable chunk
+    "unicode_proj": {
+        "alphabet": "utf8",
+        "regex": lambda n: f"^.{{{n - 5}}}世界END.*",
+        "doc": lambda n, rng: _uni_doc(n, "世界END"),
+        "flags": ["-p", "-y"],
     },
     # BASELINE.json config 5: merkle commitment + negated non-match proof
     "merkle_negate": {
