@@ -190,9 +190,25 @@ def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
     verifier) and its commitment keys."""
     from .ivc_circuit import AugmentedPrimary
     proj = safa.projection() if projections else None
-    tt = TransitionTable(safa, udoc, commit.udoc_len, commit.orig_doc_len,
-                         batch_size=batch_size, projection=proj,
-                         hybrid=hybrid, merkle=merkle)
+    # the table is doc-CONTENT-independent (it holds udoc only for
+    # witness lookups): cache by (safa identity, lengths, flags) so a
+    # serve worker proving one policy over many same-length docs pays
+    # the SAFA walk + cost model once.  The cached tt keeps a strong
+    # safa ref, so the id() key cannot be reused while the entry lives.
+    tkey = (id(safa), commit.udoc_len, commit.orig_doc_len, batch_size,
+            proj, hybrid, merkle)
+    base_tt = _TT_CACHE.get(tkey)
+    if base_tt is None:
+        tt = TransitionTable(safa, udoc, commit.udoc_len,
+                             commit.orig_doc_len, batch_size=batch_size,
+                             projection=proj, hybrid=hybrid, merkle=merkle)
+        if len(_TT_CACHE) > 8:
+            _TT_CACHE.clear()
+        _TT_CACHE[tkey] = tt
+    else:
+        import copy
+        tt = copy.copy(base_tt)
+        tt.udoc = udoc
     mc = None
     if merkle:
         assert udoc is not None or commit.merkle_root is not None
@@ -232,6 +248,7 @@ def pub_setup(safa: SAFA, commit: ReefCommitment, batch_size: int,
 
 
 _CIRCUIT_CACHE: dict = {}
+_TT_CACHE: dict = {}
 
 
 class _VerifierMerkle:

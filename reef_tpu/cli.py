@@ -105,12 +105,25 @@ def artifact_names(args):
     return cmt, key, proof
 
 
+_SAFA_CACHE: dict = {}
+
+
 def build_safa(args, ab: Optional[List[int]]) -> SAFA:
-    r = R.simpl(rparser.parse(args.re))
+    """SAFA construction is deterministic in (regex, alphabet, negate):
+    cache it so a serve-mode worker proving the SAME policy regex over
+    many documents builds the automaton once (the reference re-derives
+    per process, main.rs:57-72; a proving service amortizes)."""
     ab_str = None if ab is None else "".join(chr(c) for c in ab)
-    safa = SAFA(ab_str, r)
-    if args.negate:
-        safa = safa.negate()
+    key = (args.re, ab_str, bool(args.negate))
+    safa = _SAFA_CACHE.get(key)
+    if safa is None:
+        r = R.simpl(rparser.parse(args.re))
+        safa = SAFA(ab_str, r)
+        if args.negate:
+            safa = safa.negate()
+        if len(_SAFA_CACHE) > 16:
+            _SAFA_CACHE.clear()
+        _SAFA_CACHE[key] = safa
     return safa
 
 
