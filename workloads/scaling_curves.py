@@ -91,18 +91,38 @@ def bench_msm(n_dev: int, iters: int = 2) -> float:
     return (time.time() - t0) / iters
 
 
+def run_one(n_dev: int):
+    sc = bench_sumcheck(n_dev)
+    ms = bench_msm(n_dev) if n_dev > 1 else None
+    print(f"RESULT n_dev={n_dev} sumcheck={sc:.2f}"
+          + (f" msm512={ms:.2f}" if ms else ""), flush=True)
+
+
 def main():
+    # each mesh shape runs in its OWN subprocess: one process compiling
+    # every shape pins enough memory mappings (~10-16k per SPMD module)
+    # to exhaust vm.max_map_count mid-compile — jax.clear_caches() was
+    # not enough (observed SIGSEGV/ENOMEM at the n_dev=2 compiles)
+    import re
+    import subprocess
     devs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     print(f"devices available: {len(jax.devices())}", flush=True)
     rows = []
     for n_dev in devs:
-        sc = bench_sumcheck(n_dev)
-        ms = bench_msm(n_dev) if n_dev > 1 else None
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only",
+             str(n_dev)], capture_output=True, text=True)
+        m = re.search(r"RESULT n_dev=(\d+) sumcheck=([\d.]+)"
+                      r"(?: msm512=([\d.]+))?", r.stdout or "")
+        if not m:
+            tail = (r.stderr or "").strip().splitlines()[-3:]
+            print(f"n_dev={n_dev}: FAILED rc={r.returncode} {tail}",
+                  flush=True)
+            rows.append((n_dev, None, None))
+            continue
+        sc = float(m.group(2))
+        ms = float(m.group(3)) if m.group(3) else None
         rows.append((n_dev, sc, ms))
-        # each mesh shape's SPMD modules pin ~10-16k memory mappings;
-        # without dropping them the process exhausts vm.max_map_count
-        # (default 65530) mid-compile and LLVM aborts with ENOMEM
-        jax.clear_caches()
         print(f"n_dev={n_dev}: sumcheck {sc:.2f}s/proof"
               + (f", msm512 {ms:.2f}s" if ms else " (msm: single-dev "
                  "path is ec.msm_v3, not the mesh kernel)"), flush=True)
@@ -110,9 +130,15 @@ def main():
           "(512 pts) s |")
     print("|---|---|---|")
     for n_dev, sc, ms in rows:
+        if sc is None:
+            print(f"| {n_dev} | failed | failed |")
+            continue
         print(f"| {n_dev} | {sc:.2f} | "
               + (f"{ms:.2f} |" if ms else "n/a (single-chip kernel) |"))
 
 
 if __name__ == "__main__":
-    main()
+    if "--only" in sys.argv:
+        run_one(int(sys.argv[sys.argv.index("--only") + 1]))
+    else:
+        main()
