@@ -19,8 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 
 # small sharded-MSM chunk: ONE fixed SPMD kernel shape for every commit
 # size (the unchunked kernel compiled per basis size — minutes per shape
-# on this 4-core CPU mesh)
-os.environ.setdefault("REEF_MESH_MSM_CHUNK", "256")
+# on this 4-core CPU mesh).  64 matches the dryrun + scaling-curves
+# shape, so a single cached executable serves every lane: the 256-chunk
+# variant cost a 30-50 min cold compile per process (and fresh SPMD
+# compiles need vm.max_map_count >~ 200k; AOT cache loads do not),
+# which kept the `slow or slowest` lane unrunnable in a review budget
+# (VERDICT r4 task 9).
+os.environ.setdefault("REEF_MESH_MSM_CHUNK", "64")
 
 # let the device-MSM executables use the persistent compile cache on this
 # CPU platform: write+read round-trips were probed clean (jax 0.9), and the
