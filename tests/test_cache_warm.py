@@ -22,10 +22,12 @@ def test_dryrun_msm_kernel_hits_persistent_cache():
     from jax._src import monitoring
 
     from reef_tpu.ec.msm import pallas_kernels
-    from reef_tpu.parallel.mesh import _sharded_msm_jit, make_mesh
+    from reef_tpu.parallel.mesh import (_mesh_msm_cap, _sharded_msm_jit,
+                                        make_mesh)
 
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
+    cap = _mesh_msm_cap()          # the shape the dryrun/lanes actually use
 
     events = []
 
@@ -36,7 +38,7 @@ def test_dryrun_msm_kernel_hits_persistent_cache():
     try:
         mesh = make_mesh(8)
         ck = pallas_kernels()
-        fn = _sharded_msm_jit(mesh, ck, "data", 256)
+        fn = _sharded_msm_jit(mesh, ck, "data", cap)
         # force the compile (lower+compile without executing: no input
         # tensors needed, and a hit is still recorded)
         import jax.numpy as jnp
@@ -46,10 +48,10 @@ def test_dryrun_msm_kernel_hits_persistent_cache():
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         pts = jax.device_put(
-            jnp.zeros((8 * 256, 3, limb.N), jnp.uint32),
+            jnp.zeros((8 * cap, 3, limb.N), jnp.uint32),
             NamedSharding(mesh, P("data", None, None)))
         args = (pts,
-                jnp.zeros((8, N_WINDOWS, 256), jnp.int32),
+                jnp.zeros((8, N_WINDOWS, cap), jnp.int32),
                 jnp.zeros((8, N_WINDOWS, 255), jnp.int32),
                 jnp.zeros((8, N_WINDOWS, 255), bool),
                 jnp.asarray(np.asarray(ck.ident)))
