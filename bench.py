@@ -650,14 +650,20 @@ def main():
     stage("msm_native_pts_per_s", "bench.bench_msm_native()",
           est=60, cap=150)
     stage("e2e_warm_1kb_s", "bench.bench_e2e_warm()", est=60, cap=300)
+    stage("e2e_prover_s_per_KB", "bench.bench_e2e_prover()",
+          est=60, cap=420)
+    stage("e2e_dna_1mb_s", "bench.bench_e2e_dna()", est=60, cap=420)
+    # the ratio goes LAST: it is the most expensive stage (two serve
+    # workers + per-shape device compiles through the tunnel) and the
+    # least informative when squeezed (its honest tunneled value is <1
+    # regardless) — a budget squeeze should drop it, not the cheap
+    # host e2e numbers (the round-5 rehearsal lost all four to a
+    # device_verify overrun ahead of them).
     if device_ok:
         stage("e2e_device_vs_host_ratio",
               "bench.bench_e2e_device_vs_host()", est=300, cap=620)
     else:
         live["e2e_device_vs_host_ratio"] = False
-    stage("e2e_prover_s_per_KB", "bench.bench_e2e_prover()",
-          est=60, cap=420)
-    stage("e2e_dna_1mb_s", "bench.bench_e2e_dna()", est=60, cap=420)
 
     signal.alarm(0)
     emit()
