@@ -140,6 +140,13 @@ def test_prover_commit_path_routes_sharded_msm(mesh8, monkeypatch):
 
     monkeypatch.setattr(PM, "sharded_msm", counting)
     monkeypatch.setattr(CM, "_COMMIT_MESH", mesh8)
+    # dryrun-style bounds (__graft_entry__.dryrun_multichip step 3): one
+    # SPMD chunk dispatch per engaged commit, tail summed by the
+    # bit-identical native path — the 8 virtual devices serialize what a
+    # pod runs in parallel, and UNBOUNDED routing made this single test
+    # a ~30 min dispatch grind (VERDICT r4 task 9); the validated
+    # property (mesh routing + bit-exact proof) is unchanged
+    monkeypatch.setenv("REEF_MESH_MSM_MAX_SPMD_CHUNKS", "1")
 
     r = R.simpl(parser.parse("^baa$"))
     safa = SAFA("ab", r)
